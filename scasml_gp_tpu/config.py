@@ -1,0 +1,124 @@
+"""Typed configuration for the framework.
+
+The reference hardcodes every knob in eight near-identical driver scripts
+(reference ``results/*/experiment_run.py``; see SURVEY.md "Config / flag
+system").  Here a single dataclass tree covers the PDE, solver, precision and
+mesh choices, and one runner CLI consumes it (``scasml_gp_tpu.harness.runner``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class PrecisionPolicy:
+    """TPU-native precision policy.
+
+    The reference casts nearly everything to float16 and runs an SVD in float64
+    (reference ``models/GP.py:258-266``).  On TPU the natural mapping is
+    bfloat16/float32 storage with float32 accumulation on the MXU, float64 only
+    for host-side quadrature tables; see SURVEY.md §5 "Precision policy".
+    """
+
+    compute: str = "float32"    # dtype for on-device math (Gram, solves, rollouts)
+    storage: str = "float32"    # dtype for large persistent arrays (Gram, paths)
+    solve: str = "float32"      # dtype for factorizations / linear solves
+    host_tables: str = "float64"  # dtype for host-built quadrature tables
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.compute)
+
+    @property
+    def storage_dtype(self):
+        return jnp.dtype(self.storage)
+
+    @property
+    def solve_dtype(self):
+        return jnp.dtype(self.solve)
+
+
+@dataclasses.dataclass(frozen=True)
+class GPConfig:
+    """Gaussian-process surrogate knobs (reference ``models/GP.py``)."""
+
+    nugget: float = 1e-2            # reference models/GP.py:26
+    gn_steps: int = 20              # reference models/GP.py:487 (GN_steps default)
+    damping: float = 1e-4           # reference models/GP.py:491
+    grad_tol: float = 1e-5          # reference models/GP.py:521 early stop
+    init_scale: float = 1e-3        # reference models/GP.py:501 sol init scale
+    # 'exact' uses closed-form RBF Laplacians; 'subset' reproduces the
+    # reference's frozen-5-coordinate Hutchinson estimator (models/GP.py:28-39)
+    # for parity experiments.
+    laplacian: str = "exact"
+    laplacian_subset_size: int = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class PicardConfig:
+    """Multilevel Picard solver knobs (reference ``solvers/``)."""
+
+    n: int = 2                      # recursion depth
+    rho: int = 2                    # refinement level (quadrature variant)
+    M: int = 3                      # sample base (full-history variant)
+    variant: str = "quadrature"     # 'quadrature' | 'full_history'
+    batch_chunk: Optional[int] = None  # chunk the test batch to bound memory
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. Axes: 'data' shards the (batch x MC) sample axis,
+    'model' shards Gram rows for large training sets. The reference has no
+    parallelism at all (SURVEY.md §2 X1/X2)."""
+
+    data: int = 1
+    model: int = 1
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.data, self.model)
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    """One experiment run = PDE + dimensions + solvers + harness."""
+
+    equation: str = "GradDependentNonlinear"
+    dim: int = 20                   # spatial dimension d (n_input = d + 1)
+    num_domain: int = 1000          # GP training set (reference tests/SimpleUniform.py:46)
+    num_boundary: int = 200
+    test_domain: int = 1000
+    test_boundary: int = 200
+    seed: int = 1234                # reference drivers seed everything with 1234
+    harness: str = "SimpleUniform"
+    save_path: str = "results"
+    gp: GPConfig = dataclasses.field(default_factory=GPConfig)
+    picard: PicardConfig = dataclasses.field(default_factory=PicardConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    precision: PrecisionPolicy = dataclasses.field(default_factory=PrecisionPolicy)
+    wandb: bool = False
+
+    @property
+    def n_input(self) -> int:
+        return self.dim + 1
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "RunConfig":
+        raw = json.loads(text)
+        for key, cls in (
+            ("gp", GPConfig),
+            ("picard", PicardConfig),
+            ("mesh", MeshConfig),
+            ("precision", PrecisionPolicy),
+        ):
+            if key in raw and isinstance(raw[key], dict):
+                raw[key] = cls(**raw[key])
+        return RunConfig(**raw)

@@ -1,0 +1,18 @@
+from scasml_gp_tpu.equations.base import Equation, HypercubeGeometry
+from scasml_gp_tpu.equations.grad_dependent import GradDependentNonlinear
+from scasml_gp_tpu.equations.extra import AllenCahn, HJB
+
+EQUATIONS = {
+    "GradDependentNonlinear": GradDependentNonlinear,
+    "AllenCahn": AllenCahn,
+    "HJB": HJB,
+}
+
+__all__ = [
+    "Equation",
+    "HypercubeGeometry",
+    "GradDependentNonlinear",
+    "AllenCahn",
+    "HJB",
+    "EQUATIONS",
+]

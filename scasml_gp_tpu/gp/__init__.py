@@ -1,0 +1,45 @@
+from scasml_gp_tpu.gp.kernels import (
+    PHI_OPS,
+    PHI_SETS,
+    GradCoeffs,
+    PairStats,
+    grad_coeffs,
+    kernel_gamma,
+    op_block,
+    pair_stats,
+)
+from scasml_gp_tpu.gp.gram import gram_matrix, regularized_factorization
+from scasml_gp_tpu.gp.posterior import PosteriorOut, posterior_eval
+from scasml_gp_tpu.gp.solver import (
+    GP,
+    AllenCahnForm,
+    GPAllenCahn,
+    GPForm,
+    GPGradDependentNonlinear,
+    GradDependentForm,
+)
+from scasml_gp_tpu.gp.state import GPState, load_state, save_state
+
+__all__ = [
+    "PHI_OPS",
+    "PHI_SETS",
+    "GradCoeffs",
+    "PairStats",
+    "grad_coeffs",
+    "kernel_gamma",
+    "op_block",
+    "pair_stats",
+    "gram_matrix",
+    "regularized_factorization",
+    "PosteriorOut",
+    "posterior_eval",
+    "GP",
+    "GPForm",
+    "GradDependentForm",
+    "AllenCahnForm",
+    "GPGradDependentNonlinear",
+    "GPAllenCahn",
+    "GPState",
+    "load_state",
+    "save_state",
+]

@@ -1,0 +1,67 @@
+"""Gram-matrix assembly and factorization for the GP PDE surrogate.
+
+Parity with reference ``models/GP.py:182-268`` (``kernel_phi_phi``): the
+(4 N_dom + N_bdy)^2 Gram over the feature functionals
+phi = [delta@dom, delta@bdy, Lap@dom, dt@dom, div@dom], but assembled from the
+closed-form blocks of :mod:`scasml_gp_tpu.gp.kernels` (one matmul + fused
+elementwise math per tile) instead of 25 ``jit(vmap(vmap(...)))`` autodiff
+maps, and regularized with a true fp32 Cholesky of K + nugget*I instead of the
+reference's fp64 SVD pseudo-Cholesky (models/GP.py:258-266; for a symmetric
+PSD K the two coincide: U (S+eta) U^T = K + eta I).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from scasml_gp_tpu.gp.kernels import PHI_OPS, PHI_SETS, op_block, pair_stats
+
+
+@partial(jax.jit, static_argnames=("dim",))
+def gram_matrix(
+    x_dom: jax.Array, x_bdy: jax.Array, gamma: float, dim: int
+) -> jax.Array:
+    """Full phi-phi Gram, shape (4N+Nb, 4N+Nb), fp32.
+
+    Row/column order matches the reference assembly
+    (models/GP.py:251-258): [ID@dom, ID@bdy, LAP@dom, DT@dom, DIV@dom].
+    """
+    stats = {
+        ("dom", "dom"): pair_stats(x_dom, x_dom, gamma),
+        ("dom", "bdy"): pair_stats(x_dom, x_bdy, gamma),
+        ("bdy", "dom"): pair_stats(x_bdy, x_dom, gamma),
+        ("bdy", "bdy"): pair_stats(x_bdy, x_bdy, gamma),
+    }
+    rows = []
+    for a, sa in zip(PHI_OPS, PHI_SETS):
+        row = [
+            op_block(a, b, stats[(sa, sb)], gamma, dim)
+            for b, sb in zip(PHI_OPS, PHI_SETS)
+        ]
+        rows.append(jnp.concatenate(row, axis=1))
+    return jnp.concatenate(rows, axis=0)
+
+
+@jax.jit
+def regularized_factorization(
+    K: jax.Array, nugget: float
+) -> Tuple[jax.Array, jax.Array]:
+    """Return (K_perturbed, C) with K_pert = sym(K) + nugget*I and
+    C = K_pert^{-1}.
+
+    The explicit inverse is a one-time O(phi_dim^3) cost that makes every
+    Newton step and the final representer solve a pure matmul — the TPU-native
+    replacement for the reference's per-step ``jnp.linalg.solve`` calls
+    (models/GP.py:439,533,599).  Computed via Cholesky for stability.
+    """
+    K = 0.5 * (K + K.T)
+    K_pert = K + nugget * jnp.eye(K.shape[0], dtype=K.dtype)
+    L = jnp.linalg.cholesky(K_pert)
+    eye = jnp.eye(K.shape[0], dtype=K.dtype)
+    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    C = Linv.T @ Linv
+    return K_pert, C

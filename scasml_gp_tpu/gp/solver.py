@@ -1,0 +1,347 @@
+"""Gaussian-process PDE surrogate: training (damped Newton) and evaluation.
+
+API parity with the reference ``GP`` / ``GP_Grad_Dependent_Nonlinear``
+(reference ``models/GP.py:8,487,653,673,689,693-769``): ``GPsolver``,
+``predict``, ``compute_gradient``, ``compute_PDE_loss`` with the same loss
+    loss(sol) = b(sol)^T (K + nugget I)^{-1} b(sol),
+    b = [z1, g_bdy, z3, F(z1,z3,z5), z5]
+and the same damped-Newton iteration (fixed step 1, damping 1e-4, early stop
+|grad| < 1e-5; models/GP.py:487-604).
+
+TPU-native differences:
+- the Hessian is ANALYTIC (Gauss-Newton term + exact rank-structured
+  second-order correction), not ``jax.hessian`` of a 3N-dim function — the
+  reference itself carries the GN Hessian in comments (models/GP.py:446-458);
+- (K + nugget I)^{-1} is precomputed once (Cholesky-based), so each Newton
+  step is pure matmul/elementwise work inside ONE ``lax.fori_loop`` compiled
+  graph — no per-step host sync;
+- everything runs in fp32 (vs the reference's fp16-with-fp64-SVD mix).
+
+Per-equation pieces (rhs, the time-derivative representation F, its Jacobian
+and second derivative, and the strong-form PDE residual) live in small
+``GPForm`` mixins, mirroring reference ``GP_Grad_Dependent_Nonlinear``
+(models/GP.py:693-769).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from scasml_gp_tpu.config import GPConfig
+from scasml_gp_tpu.equations.base import Equation
+from scasml_gp_tpu.gp.gram import gram_matrix, regularized_factorization
+from scasml_gp_tpu.gp.kernels import kernel_gamma
+from scasml_gp_tpu.gp.posterior import posterior_eval
+from scasml_gp_tpu.gp.state import GPState
+
+
+class GPForm:
+    """Per-equation GP pieces. F maps (z1, z3, z5) -> values of du/dt on the
+    interior set, derived from the PDE: du/dt = -mu * div u - (sigma^2/2) Lap u
+    - f(x, u, sigma grad u), with z1 ~ u, z3 ~ Lap u, z5 ~ div u."""
+
+    def __init__(self, equation: Equation):
+        self.equation = equation
+
+    def rhs_f(self, x_dom: jax.Array) -> jax.Array:
+        """Forcing term on the interior set (reference models/GP.py:700-702)."""
+        return jnp.zeros((x_dom.shape[0],), dtype=jnp.float32)
+
+    def F(self, z1, z3, z5, rhs):
+        raise NotImplementedError
+
+    def dF(self, z1, z3, z5) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Diagonals of dF/dz1, dF/dz3, dF/dz5 (F_i depends only on entry i)."""
+        raise NotImplementedError
+
+    def d2F_contraction(self, w, z1, z3, z5):
+        """3x3 blocks (as diagonal vectors) of sum_i w_i * Hess(F_i).
+        Returns dict {(a,b): vec} with a,b in {0,1,2} for (z1,z3,z5)."""
+        return {}
+
+    def residual(self, x, u, dt_u, div_u, lap_u) -> jax.Array:
+        """Strong-form PDE residual from posterior features."""
+        raise NotImplementedError
+
+
+class GradDependentForm(GPForm):
+    """Mixin for GradDependentNonlinear (reference models/GP.py:693-769):
+    F = -sigma^2 z1 z5 + (1/d + sigma^2/2) z5 - (sigma^2/2) z3 + rhs."""
+
+    def F(self, z1, z3, z5, rhs):
+        sig2 = self.equation.sigma() ** 2
+        d = self.equation.dim
+        return -sig2 * z1 * z5 + (1.0 / d + sig2 / 2.0) * z5 - (sig2 / 2.0) * z3 + rhs
+
+    def dF(self, z1, z3, z5):
+        sig2 = self.equation.sigma() ** 2
+        d = self.equation.dim
+        ones = jnp.ones_like(z1)
+        f1 = -sig2 * z5
+        f3 = -(sig2 / 2.0) * ones
+        f5 = -sig2 * z1 + (1.0 / d + sig2 / 2.0) * ones
+        return f1, f3, f5
+
+    def d2F_contraction(self, w, z1, z3, z5):
+        sig2 = self.equation.sigma() ** 2
+        v = -sig2 * w
+        return {(0, 2): v, (2, 0): v}
+
+    def residual(self, x, u, dt_u, div_u, lap_u):
+        # dt u + (sigma^2 u - 1/d - sigma^2/2) div u + (sigma^2/2) Lap u
+        # (reference models/GP.py:746-769)
+        sig2 = self.equation.sigma() ** 2
+        d = self.equation.dim
+        return dt_u + (sig2 * u - 1.0 / d - sig2 / 2.0) * div_u + (sig2 / 2.0) * lap_u
+
+
+class AllenCahnForm(GPForm):
+    """Mixin for AllenCahn (mu = 0): F = -(sigma^2/2) z3 - (z1 - z1^3) + rhs."""
+
+    def F(self, z1, z3, z5, rhs):
+        sig2 = self.equation.sigma() ** 2
+        return -(sig2 / 2.0) * z3 - (z1 - z1**3) + rhs
+
+    def dF(self, z1, z3, z5):
+        sig2 = self.equation.sigma() ** 2
+        ones = jnp.ones_like(z1)
+        return -(1.0 - 3.0 * z1 * z1), -(sig2 / 2.0) * ones, jnp.zeros_like(z1)
+
+    def d2F_contraction(self, w, z1, z3, z5):
+        return {(0, 0): 6.0 * z1 * w}
+
+    def residual(self, x, u, dt_u, div_u, lap_u):
+        sig2 = self.equation.sigma() ** 2
+        return dt_u + (sig2 / 2.0) * lap_u + (u - u**3)
+
+
+class _TrainOut(NamedTuple):
+    sol: jax.Array
+    right_vector: jax.Array
+    loss_history: jax.Array
+    grad_norm: jax.Array
+
+
+class GP:
+    """Gaussian kernel PDE solver. Subclass with a GPForm mixin per equation
+    (see :class:`GPGradDependentNonlinear`)."""
+
+    form_cls = None  # set by subclasses
+
+    def __init__(self, equation: Equation, config: Optional[GPConfig] = None):
+        self.equation = equation
+        self.config = config or GPConfig()
+        if self.config.laplacian != "exact":
+            raise ValueError(
+                "only the closed-form 'exact' Laplacian is supported; the "
+                "reference's frozen-subset Hutchinson estimator "
+                "(models/GP.py:28-39) is biased and additionally permutes "
+                "coordinates — see SURVEY.md 'Hard parts'."
+            )
+        equation.geometry()
+        self.T = equation.T
+        self.t0 = equation.t0
+        self.n_input = equation.n_input
+        self.n_output = equation.n_output
+        self.d = equation.dim
+        self.gamma = kernel_gamma(equation.sigma(), self.d)
+        self.nugget = self.config.nugget
+        self.form: GPForm = self.form_cls(equation) if self.form_cls else None
+        self.state: Optional[GPState] = None
+        self.eval_chunk = 4096   # bounds (chunk x phi_dim) posterior intermediates
+
+    # ------------------------------------------------------------------ train
+    def GPsolver(
+        self, x_t_domain, x_t_boundary, GN_steps: Optional[int] = None
+    ) -> jax.Array:
+        """Train the surrogate; returns the posterior mean on the interior set
+        (same contract as reference models/GP.py:487-604)."""
+        cfg = self.config
+        steps = cfg.gn_steps if GN_steps is None else int(GN_steps)
+        x_dom = jnp.asarray(x_t_domain, jnp.float32)
+        x_bdy = jnp.asarray(x_t_boundary, jnp.float32)
+        bdy_g = self.equation.g(x_bdy)[:, 0].astype(jnp.float32)
+        rhs = self.form.rhs_f(x_dom).astype(jnp.float32)
+
+        out = self._train_jit(
+            x_dom, x_bdy, bdy_g, rhs,
+            steps=steps,
+            damping=cfg.damping,
+            grad_tol=cfg.grad_tol,
+            init_scale=cfg.init_scale,
+        )
+        self.state = GPState(
+            x_dom=x_dom,
+            x_bdy=x_bdy,
+            right_vector=out.right_vector,
+            sol=out.sol,
+            gamma=jnp.asarray(self.gamma, jnp.float32),
+            loss_history=out.loss_history,
+        )
+        self.loss_history = out.loss_history
+        return self.predict(x_dom)
+
+    @partial(jax.jit, static_argnames=("self", "steps"))
+    def _train_jit(
+        self, x_dom, x_bdy, bdy_g, rhs, steps, damping, grad_tol, init_scale
+    ) -> _TrainOut:
+        N = x_dom.shape[0]
+        Nb = x_bdy.shape[0]
+        d = self.d
+        gamma = jnp.asarray(self.gamma, jnp.float32)
+
+        K = gram_matrix(x_dom, x_bdy, gamma, d)
+        _, C = regularized_factorization(K, self.nugget)
+
+        # Row sets of b = [z1 (R1), bdy (R2), z3 (R3), F (R4), z5 (R5)].
+        i1, i2, i3, i4 = N, N + Nb, 2 * N + Nb, 3 * N + Nb
+        C_rows = {1: C[:i1], 2: C[i1:i2], 3: C[i2:i3], 4: C[i3:i4], 5: C[i4:]}
+        # Sub-blocks used by the analytic Hessian: groups (z1,z3,z5) live on
+        # identity rows (R1,R3,R5) and couple through the F rows (R4).
+        grp_rows = {0: (0, i1), 1: (i2, i3), 2: (i4, 4 * N + Nb)}
+
+        def split(sol):
+            return sol[:N], sol[N : 2 * N], sol[2 * N :]
+
+        def b_of(sol):
+            z1, z3, z5 = split(sol)
+            return jnp.concatenate(
+                [z1, bdy_g, z3, self.form.F(z1, z3, z5, rhs), z5]
+            )
+
+        def loss_of(sol):
+            b = b_of(sol)
+            return b @ (C @ b)
+
+        def grad_of(sol, Cb):
+            z1, z3, z5 = split(sol)
+            f1, f3, f5 = self.form.dF(z1, z3, z5)
+            r4 = Cb[i3:i4]
+            g1 = Cb[:i1] + f1 * r4
+            g2 = Cb[i2:i3] + f3 * r4
+            g3 = Cb[i4:] + f5 * r4
+            return 2.0 * jnp.concatenate([g1, g2, g3])
+
+        C44 = C[i3:i4, i3:i4]
+
+        def hess_of(sol, Cb):
+            z1, z3, z5 = split(sol)
+            f1, f3, f5 = self.form.dF(z1, z3, z5)
+            fs = (f1, f3, f5)
+            blocks = [[None] * 3 for _ in range(3)]
+            d2 = self.form.d2F_contraction(Cb[i3:i4], z1, z3, z5)
+            for a in range(3):
+                ra0, ra1 = grp_rows[a]
+                for bgrp in range(3):
+                    rb0, rb1 = grp_rows[bgrp]
+                    blk = (
+                        C[ra0:ra1, rb0:rb1]
+                        + fs[a][:, None] * C[i3:i4, rb0:rb1]
+                        + C[ra0:ra1, i3:i4] * fs[bgrp][None, :]
+                        + fs[a][:, None] * C44 * fs[bgrp][None, :]
+                    )
+                    if (a, bgrp) in d2:
+                        blk = blk + jnp.diag(d2[(a, bgrp)])
+                    blocks[a][bgrp] = blk
+            H = jnp.block(blocks)
+            return 2.0 * H
+
+        sol0 = jax.random.normal(jax.random.PRNGKey(0), (3 * N,)) * init_scale
+        sol0 = sol0.astype(jnp.float32)
+        loss_hist0 = jnp.zeros((steps + 1,), jnp.float32).at[0].set(loss_of(sol0))
+
+        def body(step, carry):
+            sol, hist, done, gnorm_last = carry
+            b = b_of(sol)
+            Cb = C @ b
+            grad = grad_of(sol, Cb)
+            gnorm = jnp.linalg.norm(grad)
+            stop = done | (gnorm < grad_tol)
+
+            H = hess_of(sol, Cb)
+            H = H + damping * jnp.eye(H.shape[0], dtype=H.dtype)
+            direction = jnp.linalg.solve(H, -grad)
+            new_sol = jnp.where(stop, sol, sol + direction)
+            new_loss = loss_of(new_sol)
+            hist = hist.at[step + 1].set(new_loss)
+            return new_sol, hist, stop, jnp.where(done, gnorm_last, gnorm)
+
+        sol, hist, _, gnorm = jax.lax.fori_loop(
+            0, steps, body, (sol0, loss_hist0, jnp.array(False), jnp.array(0.0))
+        )
+
+        z = b_of(sol)
+        right_vector = C @ z
+        return _TrainOut(
+            sol=sol, right_vector=right_vector, loss_history=hist, grad_norm=gnorm
+        )
+
+    # ------------------------------------------------------------------- eval
+    def _require_state(self):
+        if self.state is None:
+            raise RuntimeError("GP not trained; call GPsolver first.")
+
+    def predict(self, x_t_infer) -> jax.Array:
+        """Posterior mean, shape (n, 1) (reference models/GP.py:653-671)."""
+        self._require_state()
+        out = posterior_eval(
+            jnp.asarray(x_t_infer, jnp.float32),
+            self.state.x_dom,
+            self.state.x_bdy,
+            self.state.right_vector,
+            self.state.gamma,
+            self.d,
+            chunk=self.eval_chunk,
+        )
+        return out.u[:, None]
+
+    def compute_gradient(self, x_t_infer, sol_infer=None) -> jax.Array:
+        """Full space-time posterior gradient, shape (n, d+1)
+        (reference models/GP.py:673-687; ``sol_infer`` kept for API parity)."""
+        self._require_state()
+        out = posterior_eval(
+            jnp.asarray(x_t_infer, jnp.float32),
+            self.state.x_dom,
+            self.state.x_bdy,
+            self.state.right_vector,
+            self.state.gamma,
+            self.d,
+            want_grad=True,
+            chunk=self.eval_chunk,
+        )
+        return out.grad
+
+    def compute_PDE_loss(self, x_t_infer) -> jax.Array:
+        """Strong-form PDE residual of the posterior mean, shape (n, 1)
+        (reference models/GP.py:746-769)."""
+        self._require_state()
+        x = jnp.asarray(x_t_infer, jnp.float32)
+        out = posterior_eval(
+            x,
+            self.state.x_dom,
+            self.state.x_bdy,
+            self.state.right_vector,
+            self.state.gamma,
+            self.d,
+            want_ops=True,
+            chunk=self.eval_chunk,
+        )
+        eps = self.form.residual(x, out.u, out.dt_u, out.div_u, out.lap_u)
+        return eps[:, None]
+
+
+class GPGradDependentNonlinear(GP):
+    """GP surrogate for GradDependentNonlinear
+    (parity with reference ``GP_Grad_Dependent_Nonlinear``, models/GP.py:693)."""
+
+    form_cls = GradDependentForm
+
+
+class GPAllenCahn(GP):
+    """GP surrogate for AllenCahn (new capability beyond the reference)."""
+
+    form_cls = AllenCahnForm

@@ -1,0 +1,230 @@
+"""Trace-time-flattened multilevel Picard recursion.
+
+The reference's ``uz_solve`` is a Python recursion with data-dependent shapes
+(``int(Mf[...])``), so every tree node re-traces and every Newton-level loop
+syncs with the host (reference ``solvers/MLP.py:141-274``; SURVEY.md §3.3
+"Hot loop").  Here the (n, rho) schedule is static (host tables from
+:mod:`scasml_gp_tpu.picard.schedule`), and the recursion is expanded at TRACE
+time into one XLA program:
+
+- the quadrature-point loop is a ``lax.scan`` (carrying the Brownian path X, W
+  and the accumulators), so each sub-level is traced once per caller level,
+  not once per quadrature point;
+- all Monte-Carlo shapes are static; Brownian increments use properly split
+  threefry keys (the reference reuses ``PRNGKey(0)`` at every node,
+  solvers/MLP.py:167 — a correlated-samples bug we do not reproduce);
+- the terminal pass chunks its MC axis so rho^rho-sample levels fit in HBM.
+
+Both solver families share this module: the plain MLP passes the equation's
+(f, g); ScaSML passes residual-calibrated (f, g) plus a leaf residual
+injection (reference ``solvers/ScaSML.py:29-63,274-280``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scasml_gp_tpu.picard.schedule import PicardTables
+
+_TERMINAL_MC_CHUNK = 1024  # bounds (B * chunk * dim) terminal buffers
+
+
+class PicardModel(NamedTuple):
+    """Problem spec consumed by the recursion builders.
+
+    ``params`` (e.g. a trained GPState) is threaded through every callable so
+    the compiled program is reusable when the surrogate is retrained.
+    """
+
+    f: Callable      # (params, x_t, u, z) -> (rows, 1)
+    g: Callable      # (params, x_t) -> (rows, 1)
+    leaf: Optional[Callable]  # (params, x_t) -> (rows, 1) residual injection
+    mu: float
+    sigma: float
+    T: float
+    dim: int
+    clip: float      # output clip (norm_estimation / uncertainty)
+
+
+def _terminal_pass(model: PicardModel, params, x, t, key, mc: int):
+    """Terminal Monte-Carlo estimate:
+        u = mean g(X_T),  z = mean(g(X_T) * xi) / (T - t + 1e-6)
+    (reference solvers/MLP.py:167-203), chunked over the MC axis."""
+    B = x.shape[0]
+    dim = model.dim
+    dT = (model.T - t)[:, None]
+    u_sum = jnp.zeros((B, 1), jnp.float32)
+    z_sum = jnp.zeros((B, dim), jnp.float32)
+    done = 0
+    while done < mc:
+        cur = min(_TERMINAL_MC_CHUNK, mc - done)
+        key, sub = jax.random.split(key)
+        xi = jax.random.normal(sub, (B, cur, dim), jnp.float32)
+        XT = (
+            x[:, None, :]
+            + model.mu * dT[..., None]
+            + model.sigma * jnp.sqrt(dT)[..., None] * xi
+        )
+        xt_T = jnp.concatenate(
+            [XT, jnp.full((B, cur, 1), model.T, jnp.float32)], axis=2
+        ).reshape(-1, dim + 1)
+        gv = model.g(params, xt_T).reshape(B, cur)
+        u_sum = u_sum + jnp.sum(gv, axis=1, keepdims=True)
+        z_sum = z_sum + jnp.sum(gv[..., None] * xi, axis=1)
+        done += cur
+    u = u_sum / mc
+    z = z_sum / (mc * (dT + 1e-6))
+    return u, z
+
+
+def build_quadrature_uz(
+    model: PicardModel, n: int, rho: int, tables: PicardTables
+) -> Callable:
+    """Build fn(x_t, key, params) -> (B, 1+dim) for the quadrature variant
+    (semantics of reference solvers/MLP.py:141-274 / ScaSML.py:149-284)."""
+    Mf, Mg, Q, c, w = tables
+    T, dim = model.T, model.dim
+
+    def uz(lvl: int, x_t, key, params):
+        B = x_t.shape[0]
+        if lvl <= 0:
+            # Level-0 estimate is zero (reference solvers/MLP.py:205-207).
+            return jnp.zeros((B, 1 + dim), jnp.float32)
+        x = x_t[:, :-1].astype(jnp.float32)
+        t = x_t[:, -1].astype(jnp.float32)
+
+        key, kterm = jax.random.split(key)
+        u, z = _terminal_pass(model, params, x, t, kterm, int(Mg[rho - 1, lvl]))
+
+        for l in range(lvl):
+            q = int(Q[rho - 1, lvl - l - 1])
+            mf = int(Mf[rho - 1, lvl - l - 1])
+            nodes = jnp.asarray(c[:q, q - 1], jnp.float32)    # ascending on [0,T]
+            weights = jnp.asarray(w[:q, q - 1], jnp.float32)
+            cloc = t[:, None] + (T - t)[:, None] * nodes[None, :] / T  # (B, q)
+            wloc = (T - t)[:, None] * weights[None, :] / T             # (B, q)
+            dts = jnp.diff(
+                jnp.concatenate([t[:, None], cloc], axis=1), axis=1
+            )                                                          # (B, q)
+            key, kl = jax.random.split(key)
+            kks = jax.random.split(kl, q)
+
+            X0 = jnp.broadcast_to(x[:, None, :], (B, mf, dim)).astype(jnp.float32)
+            W0 = jnp.zeros((B, mf, dim), jnp.float32)
+
+            def step(carry, inp):
+                X, W, u, z = carry
+                kk, dt_k, c_k, w_k = inp
+                dW = jnp.sqrt(dt_k)[:, None, None] * jax.random.normal(
+                    kk, (B, mf, dim), jnp.float32
+                )
+                W = W + dW
+                X = X + model.mu * dt_k[:, None, None] + model.sigma * dW
+                xt_k = jnp.concatenate(
+                    [X, jnp.broadcast_to(c_k[:, None, None], (B, mf, 1))], axis=2
+                ).reshape(-1, dim + 1)
+                denom = (c_k - t + 1e-6)[:, None]
+
+                sim_l = uz(l, xt_k, jax.random.fold_in(kk, 1), params)
+                y = model.f(params, xt_k, sim_l[:, :1], sim_l[:, 1:]).reshape(B, mf)
+                u = u + w_k[:, None] * jnp.mean(y, axis=1, keepdims=True)
+                z = z + w_k[:, None] * jnp.sum(y[..., None] * W, axis=1) / (
+                    mf * denom
+                )
+                if l:
+                    sim_lm1 = uz(l - 1, xt_k, jax.random.fold_in(kk, 2), params)
+                    y2 = model.f(
+                        params, xt_k, sim_lm1[:, :1], sim_lm1[:, 1:]
+                    ).reshape(B, mf)
+                    u = u - w_k[:, None] * jnp.mean(y2, axis=1, keepdims=True)
+                    z = z - w_k[:, None] * jnp.sum(y2[..., None] * W, axis=1) / (
+                        mf * denom
+                    )
+                elif model.leaf is not None:
+                    # GP PDE-residual injection at leaf level
+                    # (reference solvers/ScaSML.py:274-280).
+                    eps = model.leaf(params, xt_k).reshape(B, mf)
+                    u = u + w_k[:, None] * jnp.mean(eps, axis=1, keepdims=True)
+                    z = z + w_k[:, None] * jnp.sum(eps[..., None] * W, axis=1) / (
+                        mf * denom
+                    )
+                return (X, W, u, z), None
+
+            (X0, W0, u, z), _ = jax.lax.scan(
+                step,
+                (X0, W0, u, z),
+                (kks, dts.T, cloc.T, wloc.T),
+            )
+
+        out = jnp.concatenate([u, z], axis=1)
+        return jnp.clip(out, -model.clip, model.clip)
+
+    def fn(x_t, key, params):
+        return uz(n, x_t, key, params)
+
+    return fn
+
+
+def build_full_history_uz(
+    model: PicardModel, n: int, M: int
+) -> Callable:
+    """Build fn(x_t, key, params) -> (B, 1+dim) for the full-history variant
+    (semantics of reference solvers/MLP_full_history.py:64-180 /
+    ScaSML_full_history.py): interior times are sampled uniformly on [t, T]
+    instead of by quadrature; updates are
+        u += (T-t) mean y,   z += (T-t) mean(y * xi / sqrt(tau (T-t) + 1e-6)).
+    """
+    T, dim = model.T, model.dim
+
+    def uz(lvl: int, x_t, key, params):
+        B = x_t.shape[0]
+        if lvl <= 0:
+            return jnp.zeros((B, 1 + dim), jnp.float32)
+        x = x_t[:, :-1].astype(jnp.float32)
+        t = x_t[:, -1].astype(jnp.float32)
+        dT = (T - t)[:, None]
+
+        key, kterm = jax.random.split(key)
+        u, z = _terminal_pass(model, params, x, t, kterm, int(M**lvl))
+
+        for l in range(lvl):
+            mf = int(M ** (lvl - l))
+            key, ktau, kxi = jax.random.split(key, 3)
+            tau = jax.random.uniform(ktau, (B, mf), jnp.float32)
+            ts = (tau * dT)[..., None]                       # (B, mf, 1)
+            xi = jax.random.normal(kxi, (B, mf, dim), jnp.float32)
+            X = x[:, None, :] + model.mu * ts + model.sigma * jnp.sqrt(ts) * xi
+            xt_k = jnp.concatenate([X, t[:, None, None] + ts], axis=2).reshape(
+                -1, dim + 1
+            )
+            inv_sqrt = 1.0 / jnp.sqrt(ts + 1e-6)             # (B, mf, 1)
+
+            key, k1 = jax.random.split(key)
+            sim_l = uz(l, xt_k, k1, params)
+            y = model.f(params, xt_k, sim_l[:, :1], sim_l[:, 1:]).reshape(B, mf)
+            u = u + dT * jnp.mean(y, axis=1, keepdims=True)
+            z = z + dT * jnp.mean(y[..., None] * xi * inv_sqrt, axis=1)
+            if l:
+                key, k2 = jax.random.split(key)
+                sim_lm1 = uz(l - 1, xt_k, k2, params)
+                y2 = model.f(
+                    params, xt_k, sim_lm1[:, :1], sim_lm1[:, 1:]
+                ).reshape(B, mf)
+                u = u - dT * jnp.mean(y2, axis=1, keepdims=True)
+                z = z - dT * jnp.mean(y2[..., None] * xi * inv_sqrt, axis=1)
+            elif model.leaf is not None:
+                eps = model.leaf(params, xt_k).reshape(B, mf)
+                u = u + dT * jnp.mean(eps, axis=1, keepdims=True)
+                z = z + dT * jnp.mean(eps[..., None] * xi * inv_sqrt, axis=1)
+
+        out = jnp.concatenate([u, z], axis=1)
+        return jnp.clip(out, -model.clip, model.clip)
+
+    def fn(x_t, key, params):
+        return uz(n, x_t, key, params)
+
+    return fn

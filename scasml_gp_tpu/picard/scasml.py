@@ -1,0 +1,141 @@
+"""ScaSML: GP-calibrated multilevel Picard solvers.
+
+The Picard recursion runs on the RESIDUAL u_breve = u - u_hat of the trained
+GP surrogate (reference ``solvers/ScaSML.py`` / ``ScaSML_full_history.py``):
+
+    f_breve(x, ub, zb) = f(x, ub + u_hat, sigma grad u_hat + zb)
+                       - f(x, u_hat, sigma grad u_hat)        (ScaSML.py:29-47)
+    g_breve(x)         = g(x) - u_hat(x)                      (ScaSML.py:49-63)
+    leaf level l == 0  : inject eps = PDE residual of u_hat   (ScaSML.py:274-280)
+    u_solve            = u_hat + u_breve                      (ScaSML.py:286-304)
+
+TPU-native: the GP posterior mean + gradient (and the residual at leaves) are
+evaluated by the FUSED single-pass kernel of :mod:`scasml_gp_tpu.gp.posterior`
+on the whole (batch x MC) node block at once, inside the same compiled rollout
+— the reference instead re-enters three separate autodiff evaluators per tree
+node, which is why its ScaSML is 8x slower than plain MLP (SURVEY.md §3.4).
+The trained surrogate is threaded through as a GPState pytree argument, so a
+retrained GP does not retrigger compilation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from scasml_gp_tpu.gp.posterior import posterior_eval
+from scasml_gp_tpu.gp.solver import GP
+from scasml_gp_tpu.picard.core import (
+    PicardModel,
+    build_full_history_uz,
+    build_quadrature_uz,
+)
+from scasml_gp_tpu.picard.mlp import _PicardBase
+from scasml_gp_tpu.picard.schedule import (
+    approx_parameters,
+    count_evaluations_full_history,
+    count_evaluations_quadrature,
+)
+
+
+class _ScaSMLBase(_PicardBase):
+    def __init__(self, equation, gp: GP, batch_chunk=None):
+        super().__init__(equation, batch_chunk=batch_chunk)
+        self.GP = gp
+        self.eval_chunk = gp.eval_chunk
+
+    def _params(self):
+        if self.GP.state is None:
+            raise RuntimeError("GP surrogate not trained; call GP.GPsolver first.")
+        return self.GP.state
+
+    def _model(self) -> PicardModel:
+        eq = self.equation
+        dim = self.dim
+        form = self.GP.form
+        chunk = self.eval_chunk
+
+        def f_breve(params, x_t, u_breve, z_breve):
+            out = posterior_eval(
+                x_t, params.x_dom, params.x_bdy, params.right_vector,
+                params.gamma, dim, want_grad=True, chunk=chunk,
+            )
+            u_hat = out.u[:, None]
+            grad_sp = out.grad[:, :-1]  # spatial part (reference ScaSML.py:44)
+            sig = eq.sigma(x_t)
+            val1 = eq.f(x_t, u_breve + u_hat, sig * grad_sp + z_breve)
+            val2 = eq.f(x_t, u_hat, sig * grad_sp)
+            return val1 - val2
+
+        def g_breve(params, x_t):
+            out = posterior_eval(
+                x_t, params.x_dom, params.x_bdy, params.right_vector,
+                params.gamma, dim, chunk=chunk,
+            )
+            return eq.g(x_t) - out.u[:, None]
+
+        def leaf(params, x_t):
+            out = posterior_eval(
+                x_t, params.x_dom, params.x_bdy, params.right_vector,
+                params.gamma, dim, want_ops=True, chunk=chunk,
+            )
+            eps = form.residual(x_t, out.u, out.dt_u, out.div_u, out.lap_u)
+            return eps[:, None]
+
+        return PicardModel(
+            f=f_breve,
+            g=g_breve,
+            leaf=leaf,
+            mu=float(eq.mu()),
+            sigma=float(eq.sigma()),
+            T=self.T,
+            dim=dim,
+            clip=float(eq.uncertainty),  # reference ScaSML.py:282-284
+        )
+
+    def _u_hat(self, x_t) -> jax.Array:
+        return self.GP.predict(x_t)
+
+
+class ScaSML(_ScaSMLBase):
+    """Quadrature ScaSML (reference ``solvers/ScaSML.py``)."""
+
+    def _build(self, schedule_key):
+        n, rho = schedule_key
+        tables = approx_parameters(rho, self.T)
+        return build_quadrature_uz(self._model(), n, rho, tables)
+
+    def uz_solve(self, n: int, rho: int, x_t) -> jax.Array:
+        out = self._run((int(n), int(rho)), x_t)
+        self.evaluation_counter += count_evaluations_quadrature(
+            int(n), int(rho), self.T, count_fg=True
+        )
+        return out
+
+    def u_solve(self, n: int, rho: int, x_t) -> jax.Array:
+        """u_hat + u_breve (reference solvers/ScaSML.py:286-304)."""
+        u_breve = self.uz_solve(n, rho, x_t)[:, :1]
+        return self._u_hat(x_t) + u_breve
+
+
+class ScaSMLFullHistory(_ScaSMLBase):
+    """Full-history ScaSML (reference ``solvers/ScaSML_full_history.py``)."""
+
+    def _build(self, schedule_key):
+        n, M = schedule_key
+        return build_full_history_uz(self._model(), n, M)
+
+    def uz_solve(self, n: int, rho: int, x_t, M: int = 3) -> jax.Array:
+        out = self._run((int(n), int(M)), x_t)
+        self.evaluation_counter += count_evaluations_full_history(
+            int(n), int(M), scasml_variant=True, count_fg=True
+        )
+        return out
+
+    def u_solve(self, n: int, rho: int, x_t, M: int = 3) -> jax.Array:
+        u_breve = self.uz_solve(n, rho, x_t, M)[:, :1]
+        return self._u_hat(x_t) + u_breve
+
+
+# Reference-spelling alias.
+ScaSML_full_history = ScaSMLFullHistory
