@@ -1,0 +1,178 @@
+"""Multilevel Picard solver tests: schedules, estimator correctness on a
+linear PDE (brute-force MC oracle), terminal-time determinism, and the
+ScaSML < MLP/GP error ordering on a small end-to-end problem."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scasml_gp_tpu.config import GPConfig
+from scasml_gp_tpu.equations import GradDependentNonlinear
+from scasml_gp_tpu.equations.base import Equation
+from scasml_gp_tpu.gp import GPGradDependentNonlinear
+from scasml_gp_tpu.picard import (
+    MLP,
+    MLPFullHistory,
+    ScaSML,
+    ScaSMLFullHistory,
+    approx_parameters,
+    count_evaluations_full_history,
+    count_evaluations_quadrature,
+    leggauss,
+)
+
+D = 4
+
+
+# ---------------------------------------------------------------- schedules
+def test_leggauss_exact_for_polynomials():
+    x, w = leggauss(3, 0.0, 0.5)
+    # 3-point Gauss-Legendre integrates degree-5 polynomials exactly
+    for p in range(6):
+        np.testing.assert_allclose(
+            float(np.sum(w * x**p)), 0.5 ** (p + 1) / (p + 1), rtol=1e-12
+        )
+    assert np.all(np.diff(x) > 0)  # ascending
+
+
+def test_tables_rho2():
+    t = approx_parameters(2, 0.5)
+    # Mf[rho-1,k-1] = round(rho^(k/2)); Mg = round(rho^(k-1)); Mg[rho-1,rho]=rho^rho
+    np.testing.assert_array_equal(t.Mf[1, :2], [1, 2])
+    np.testing.assert_array_equal(t.Mg[1, :3], [1, 2, 4])
+    assert np.all(t.Q[1, :2] >= 1)
+    # nodes column k-1 holds k ascending Gauss points on [0, T]
+    qmax = t.c.shape[0]
+    for k in range(1, qmax + 1):
+        assert np.all(t.c[:k, k - 1] >= 0) and np.all(t.c[:k, k - 1] <= 0.5)
+
+
+def test_evaluation_counters_positive_and_monotone():
+    c1 = count_evaluations_quadrature(1, 2, 0.5)
+    c2 = count_evaluations_quadrature(2, 2, 0.5)
+    assert 0 < c1 < c2
+    f1 = count_evaluations_full_history(1, 3)
+    f2 = count_evaluations_full_history(2, 3)
+    assert 0 < f1 < f2
+    # the ScaSML full-history variant counts MC_g in the loop -> larger
+    assert count_evaluations_full_history(
+        2, 3, scasml_variant=True
+    ) >= count_evaluations_full_history(2, 3)
+
+
+# ------------------------------------------------------- estimator correctness
+class _LinearEq(Equation):
+    """f == 0, g = sum(x): exact solution u(t,x) = sum(x) + mu*d*(T-t)
+    (Feynman-Kac for the drifted heat equation with linear terminal data)."""
+
+    def sigma(self, x_t=0):
+        return 0.5
+
+    def mu(self, x_t=0):
+        return 0.2
+
+    def f(self, x_t, u, z):
+        return jnp.zeros_like(u)
+
+    def terminal_constraint(self, x_t):
+        return jnp.sum(x_t[:, :-1], axis=1, keepdims=True)
+
+    def exact_solution(self, x_t):
+        dT = self.T - x_t[:, -1]
+        return (
+            jnp.sum(x_t[:, :-1], axis=1) + self.mu() * self.dim * dT
+        )[:, None]
+
+
+def test_full_history_linear_pde_matches_mc_oracle():
+    eq = _LinearEq(n_input=D + 1)
+    eq.norm_estimation = 100.0
+    solver = MLPFullHistory(eq)
+    x_t = jax.random.uniform(jax.random.PRNGKey(0), (64, D + 1),
+                             minval=-0.5, maxval=0.4)
+    # n=1, M large: u = mean over M samples of g(X_T); linear g makes the
+    # estimator exact in expectation with std = sigma*sqrt(d(T-t)/M).
+    u = np.asarray(solver.u_solve(1, None, x_t, M=4096)).ravel()
+    exact = np.asarray(eq.exact_solution(x_t)).ravel()
+    dT = 0.5 - np.asarray(x_t[:, -1])
+    tol = 5 * 0.5 * np.sqrt(D * dT / 4096) + 1e-3
+    assert np.all(np.abs(u - exact) < tol), np.abs(u - exact).max()
+
+
+def test_terminal_time_is_deterministic():
+    """At t = T every level reduces to u = g(x), z = 0 (zero-width interval)."""
+    eq = GradDependentNonlinear(n_input=D + 1)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (16, D), minval=-0.5, maxval=0.5)
+    x_t = jnp.concatenate([x, jnp.full((16, 1), eq.T)], axis=1)
+    g = np.asarray(eq.g(x_t)).ravel()
+    for solver, args in [
+        (MLP(eq), (2, 2, x_t)),
+        (MLPFullHistory(eq), (2, None, x_t, 3)),
+    ]:
+        uz = np.asarray(solver.uz_solve(*args))
+        np.testing.assert_allclose(uz[:, 0], g, rtol=1e-4, atol=1e-4)
+
+
+def test_batch_chunking_changes_only_rng():
+    eq = GradDependentNonlinear(n_input=D + 1)
+    x_t = jax.random.uniform(jax.random.PRNGKey(2), (40, D + 1),
+                             minval=-0.4, maxval=0.4)
+    a = MLPFullHistory(eq)
+    b = MLPFullHistory(eq, batch_chunk=16)
+    ua = np.asarray(a.u_solve(2, None, x_t, M=3)).ravel()
+    ub = np.asarray(b.u_solve(2, None, x_t, M=3)).ravel()
+    # different key streams -> not equal, but both near the exact solution
+    exact = np.asarray(eq.exact_solution(x_t)).ravel()
+    assert np.linalg.norm(ua - exact) / np.linalg.norm(exact) < 0.5
+    assert np.linalg.norm(ub - exact) / np.linalg.norm(exact) < 0.5
+
+
+def test_counter_increments():
+    eq = GradDependentNonlinear(n_input=D + 1)
+    solver = MLPFullHistory(eq)
+    x_t = jnp.zeros((8, D + 1))
+    solver.u_solve(1, None, x_t, M=2)
+    assert solver.evaluation_counter == count_evaluations_full_history(1, 2)
+
+
+# ------------------------------------------------------------ ScaSML ordering
+@pytest.fixture(scope="module")
+def trained_gp():
+    eq = GradDependentNonlinear(n_input=D + 1)
+    gp = GPGradDependentNonlinear(eq, GPConfig(gn_steps=12))
+    x_dom, x_bdy = eq.generate_data(200, 60, key=jax.random.PRNGKey(0))
+    gp.GPsolver(x_dom, x_bdy)
+    return eq, gp
+
+
+def _rel_l2(pred, exact):
+    pred = np.asarray(pred).ravel()
+    exact = np.asarray(exact).ravel()
+    return np.linalg.norm(pred - exact) / np.linalg.norm(exact)
+
+
+def test_scasml_improves_on_gp_and_mlp(trained_gp):
+    """The headline property (BASELINE.md): ScaSML error < GP and < MLP."""
+    eq, gp = trained_gp
+    x_test, _ = eq.generate_test_data(300, 1, key=jax.random.PRNGKey(3))
+    exact = eq.exact_solution(x_test)
+
+    e_gp = _rel_l2(gp.predict(x_test), exact)
+    mlp = MLPFullHistory(eq)
+    e_mlp = _rel_l2(mlp.u_solve(2, None, x_test, M=3), exact)
+    sca = ScaSMLFullHistory(eq, gp)
+    e_sca = _rel_l2(sca.u_solve(2, None, x_test, M=3), exact)
+
+    assert e_sca < e_gp, (e_sca, e_gp, e_mlp)
+    assert e_sca < e_mlp, (e_sca, e_gp, e_mlp)
+
+
+def test_scasml_quadrature_runs_and_improves(trained_gp):
+    eq, gp = trained_gp
+    x_test, _ = eq.generate_test_data(200, 1, key=jax.random.PRNGKey(4))
+    exact = eq.exact_solution(x_test)
+    e_gp = _rel_l2(gp.predict(x_test), exact)
+    sca = ScaSML(eq, gp)
+    e_sca = _rel_l2(sca.u_solve(2, 2, x_test), exact)
+    assert e_sca < e_gp, (e_sca, e_gp)
