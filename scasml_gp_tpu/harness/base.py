@@ -1,0 +1,62 @@
+"""Common harness plumbing.
+
+Every harness mirrors the reference contract (`__init__(equation, solver1,
+solver2, solver3)` + `.test(save_path, ...)`, reference tests/*.py) where
+solver1 is the GP surrogate, solver2 the plain MLP, solver3 ScaSML.  Outputs
+per run: a ``<Harness>.log`` text log, a ``metrics.json``, and PDF figures —
+the reference's artifact set minus wandb (optional here).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scasml_gp_tpu.utils.logio import dump_json
+
+
+class HarnessBase:
+    def __init__(self, equation, solver1, solver2, solver3):
+        self.equation = equation
+        self.dim = equation.n_input - 1
+        self.solver1 = solver1   # GP
+        self.solver2 = solver2   # MLP
+        self.solver3 = solver3   # ScaSML
+        self.t0 = equation.t0
+        self.T = equation.T
+
+    # ---- helpers ----
+    def _workdir(self, save_path: str) -> str:
+        path = os.path.join(save_path, type(self).__name__)
+        os.makedirs(path, exist_ok=True)
+        return path
+
+    def _test_points(self, num_domain: int, num_boundary: int, seed: int):
+        """Concatenated (domain + boundary) test set and its exact solution
+        (reference tests/SimpleUniform.py:84-87)."""
+        dom, bdy = self.equation.generate_test_data(
+            num_domain, num_boundary, key=jax.random.PRNGKey(seed)
+        )
+        x_test = jnp.concatenate([dom, bdy], axis=0)
+        exact = np.asarray(self.equation.exact_solution(x_test), np.float64)
+        return x_test, exact
+
+    def _train_points(self, num_domain: int, num_boundary: int, seed: int):
+        return self.equation.generate_data(
+            num_domain, num_boundary, key=jax.random.PRNGKey(seed)
+        )
+
+    @staticmethod
+    def _timed(fn, *args, **kwargs):
+        start = time.perf_counter()
+        out = jax.block_until_ready(fn(*args, **kwargs))
+        return out, time.perf_counter() - start
+
+    @staticmethod
+    def _dump(path: str, name: str, data: dict):
+        dump_json(os.path.join(path, name), data)

@@ -1,0 +1,100 @@
+"""ComputingBudget: equal-budget comparison of the three solvers.
+
+Parity with reference ``tests/ComputingBudget.py:59-462``: per budget level b,
+GP gets GN_steps = 5b, MLP gets rho = 2 + b - 1, ScaSML gets GN_steps/2 and
+the same rho; fresh solver instances per level (the reference deep-copies);
+errors + wall-clock per level, error-vs-budget figures, final log table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from scasml_gp_tpu.harness import plots
+from scasml_gp_tpu.harness.base import HarnessBase
+from scasml_gp_tpu.harness.metrics import valid_mask
+from scasml_gp_tpu.utils.logio import tee_log
+
+
+class ComputingBudget(HarnessBase):
+    def test(
+        self,
+        save_path: str,
+        budget_levels=(1, 2, 3),
+        num_domain: int = 1000,
+        num_boundary: int = 200,
+        train_domain: int = 1000,
+        train_boundary: int = 200,
+        seed: int = 1234,
+        make_plots: bool = True,
+        **solve_kwargs,
+    ):
+        path = self._workdir(save_path)
+        x_dom, x_bdy = self._train_points(train_domain, train_boundary, seed)
+        x_test, exact = self._test_points(num_domain, num_boundary, seed + 1)
+
+        base_gn_steps = 5     # reference ComputingBudget.py:122-123
+        base_rho = 2
+
+        errors = {"GP": [], "MLP": [], "SCaSML": []}
+        times = {"GP": [], "MLP": [], "SCaSML": []}
+        levels_used = []
+
+        for budget in budget_levels:
+            gn_steps = base_gn_steps * budget
+            rho = base_rho + budget - 1
+
+            # Fresh instances per level (reference deep-copies the solvers).
+            gp = type(self.solver1)(self.equation, self.solver1.config)
+            mlp = type(self.solver2)(self.equation)
+            sca_gp = type(self.solver1)(self.equation, self.solver1.config)
+            sca = type(self.solver3)(self.equation, sca_gp)
+
+            _, t_train = self._timed(gp.GPsolver, x_dom, x_bdy, gn_steps)
+            sol_gp, t_inf = self._timed(gp.predict, x_test)
+            times["GP"].append(t_train + t_inf)
+
+            sol_mlp, t_mlp = self._timed(
+                mlp.u_solve, rho, rho, x_test, **solve_kwargs
+            )
+            times["MLP"].append(t_mlp)
+
+            _, t_train3 = self._timed(
+                sca_gp.GPsolver, x_dom, x_bdy, max(1, gn_steps // 2)
+            )
+            sol_sca, t_inf3 = self._timed(
+                sca.u_solve, rho, rho, x_test, **solve_kwargs
+            )
+            times["SCaSML"].append(t_train3 + t_inf3)
+
+            mask = valid_mask(exact, sol_gp, sol_mlp, sol_sca)
+            ex = exact.reshape(-1)[mask]
+            norm = np.linalg.norm(ex)
+            for name, sol in (
+                ("GP", sol_gp), ("MLP", sol_mlp), ("SCaSML", sol_sca)
+            ):
+                errors[name].append(
+                    float(
+                        np.linalg.norm(np.asarray(sol, np.float64).reshape(-1)[mask]
+                                       - ex) / norm
+                    )
+                )
+            levels_used.append(int(budget))
+
+        result = {
+            "budget_levels": levels_used,
+            "rel_L2": errors,
+            "times": times,
+        }
+        with tee_log(f"{path}/ComputingBudget.log"):
+            print(f"{'budget':>8} {'GP':>12} {'MLP':>12} {'SCaSML':>12}")
+            for i, b in enumerate(levels_used):
+                print(f"{b:>8} {errors['GP'][i]:>12.4e} "
+                      f"{errors['MLP'][i]:>12.4e} {errors['SCaSML'][i]:>12.4e}")
+            for name in times:
+                print(f"{name} times: {[round(t, 3) for t in times[name]]}")
+        self._dump(path, "metrics.json", result)
+        if make_plots:
+            plots.budget_curves(levels_used, errors,
+                                f"{path}/ComputingBudget_Errors.pdf")
+        return result

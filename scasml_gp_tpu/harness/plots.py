@@ -1,0 +1,159 @@
+"""Publication figures shared by the harnesses.
+
+Same artifact set and palette as the reference harnesses (GP black #000000,
+MLP gray #A6A3A4, SCaSML teal #2C939A; reference tests/SimpleUniform.py:
+176-196), rendered with matplotlib's Agg backend so harnesses run headless.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Sequence
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+
+COLOR_SCHEME = {
+    "GP": "#000000",
+    "MLP": "#A6A3A4",
+    "SCaSML": "#2C939A",
+}
+
+_RC = {
+    "font.family": "DejaVu Sans",
+    "font.size": 8,
+    "axes.labelsize": 9,
+    "legend.fontsize": 7,
+    "xtick.labelsize": 7,
+    "ytick.labelsize": 7,
+    "axes.linewidth": 0.6,
+    "lines.linewidth": 0.8,
+    "savefig.dpi": 300,
+}
+
+
+def _save(fig, path: str):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(path, bbox_inches="tight", pad_inches=0.05)
+    plt.close(fig)
+
+
+def error_violin(errors: Dict[str, np.ndarray], path: str):
+    """Absolute-error distribution per solver (reference Figure 1)."""
+    with plt.rc_context(_RC):
+        fig, ax = plt.subplots(figsize=(3.5, 3))
+        names = list(errors)
+        vp = ax.violinplot(
+            [np.abs(errors[n]) + 1e-12 for n in names],
+            showmeans=False,
+            showmedians=True,
+        )
+        for pc, name in zip(vp["bodies"], names):
+            pc.set_facecolor(COLOR_SCHEME.get(name, "#888888"))
+            pc.set_edgecolor("black")
+            pc.set_alpha(0.8)
+        ax.set_yscale("log")
+        ax.set_ylabel("Absolute Error", labelpad=2)
+        ax.set_xticks(range(1, len(names) + 1))
+        ax.set_xticklabels(names, rotation=45, ha="right")
+        ax.grid(axis="y", linestyle="--", alpha=0.4)
+        ax.spines[["top", "right"]].set_visible(False)
+        _save(fig, path)
+
+
+def diff_hexbin(coords: np.ndarray, diff: np.ndarray, label: str, path: str):
+    """Spatial map of error differences (reference Figures 2-3)."""
+    with plt.rc_context(_RC):
+        fig, ax = plt.subplots(figsize=(3.5, 3))
+        lim = max(float(np.abs(diff).max()), 1e-12)
+        hb = ax.hexbin(
+            coords[:, 0], coords[:, 1], C=diff, cmap="coolwarm", gridsize=30,
+            reduce_C_function=np.mean, mincnt=1, vmin=-lim, vmax=lim,
+        )
+        cb = fig.colorbar(hb, ax=ax, pad=0.02)
+        cb.set_label(label, rotation=270, labelpad=10)
+        cb.set_ticks([-lim, 0, lim])
+        ax.set_xlabel("$x_1$")
+        ax.set_ylabel("$x_2$")
+        _save(fig, path)
+
+
+def error_bars(metrics: Dict[str, Dict[str, float]], key: str, path: str):
+    """Bar chart of one error metric per solver."""
+    with plt.rc_context(_RC):
+        fig, ax = plt.subplots(figsize=(3.5, 3))
+        names = list(metrics)
+        vals = [metrics[n][key] for n in names]
+        ax.bar(names, vals, color=[COLOR_SCHEME.get(n, "#888888") for n in names])
+        ax.set_ylabel(key)
+        ax.spines[["top", "right"]].set_visible(False)
+        _save(fig, path)
+
+
+def loglog_convergence(
+    sizes: np.ndarray,
+    series: Dict[str, np.ndarray],
+    slopes: Dict[str, float],
+    path: str,
+):
+    """log-log error vs training size with fitted slopes (ConvergenceRate)."""
+    with plt.rc_context(_RC):
+        fig, ax = plt.subplots(figsize=(3.5, 3))
+        for name, err in series.items():
+            color = COLOR_SCHEME.get(name, "#888888")
+            ax.loglog(sizes, err, marker="x", linestyle="-", color=color,
+                      label=f"{name} (slope {slopes[name]:.2f})")
+        ax.set_xlabel("Training size")
+        ax.set_ylabel("Relative $L^2$ error")
+        ax.legend(frameon=False)
+        ax.spines[["top", "right"]].set_visible(False)
+        _save(fig, path)
+
+
+def improvement_curve(x: np.ndarray, improvement: np.ndarray, xlabel: str, path: str):
+    """Improvement-vs-cost scaling-law plot (InferenceScaling/SimpleScaling)."""
+    with plt.rc_context(_RC):
+        fig, ax = plt.subplots(figsize=(3.5, 3))
+        ax.plot(x, improvement, color=COLOR_SCHEME["SCaSML"], linestyle="-",
+                marker="o", linewidth=1.5, markersize=4, label="Improvement (%)")
+        ax.set_xscale("log")
+        ax.set_xlabel(xlabel, labelpad=3)
+        ax.set_ylabel("Improvement (%)", labelpad=3)
+        ax.legend(frameon=False, loc="best")
+        ax.spines[["top", "right"]].set_visible(False)
+        _save(fig, path)
+
+
+def budget_curves(
+    budgets: Sequence[float], errors: Dict[str, Sequence[float]], path: str
+):
+    """Error vs computing budget (ComputingBudget)."""
+    with plt.rc_context(_RC):
+        fig, ax = plt.subplots(figsize=(3.5, 3))
+        for name, err in errors.items():
+            ax.plot(budgets, err, marker="o", linestyle="-",
+                    color=COLOR_SCHEME.get(name, "#888888"), label=name)
+        ax.set_xlabel("Budget level")
+        ax.set_ylabel("Relative $L^2$ error")
+        ax.legend(frameon=False)
+        ax.spines[["top", "right"]].set_visible(False)
+        _save(fig, path)
+
+
+def repetition_box(values: Dict[str, np.ndarray], ylabel: str, path: str):
+    """Across-repetition distribution (RepeatedExperiment)."""
+    with plt.rc_context(_RC):
+        fig, ax = plt.subplots(figsize=(3.5, 3))
+        names = list(values)
+        bp = ax.boxplot([values[n] for n in names], tick_labels=names,
+                        patch_artist=True)
+        for patch, name in zip(bp["boxes"], names):
+            patch.set_facecolor(COLOR_SCHEME.get(name, "#888888"))
+            patch.set_alpha(0.8)
+        ax.set_ylabel(ylabel)
+        ax.spines[["top", "right"]].set_visible(False)
+        _save(fig, path)

@@ -1,0 +1,125 @@
+"""Config-driven experiment runner.
+
+Replaces the reference's eight near-identical driver scripts
+(``results*/Grad_Dependent_Nonlinear/{20,40,60,80}d/experiment_run.py`` —
+verified by diff to vary only in n_input/paths/solver classes; SURVEY.md §2
+D1) with one CLI:
+
+    python -m scasml_gp_tpu.harness.runner --dim 20 --variant quadrature \
+        --harness SimpleUniform --save-path results
+
+or programmatically via :func:`run(config)`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+from scasml_gp_tpu.config import RunConfig
+from scasml_gp_tpu.equations import EQUATIONS
+from scasml_gp_tpu.gp.solver import GPAllenCahn, GPGradDependentNonlinear
+from scasml_gp_tpu.harness.computing_budget import ComputingBudget
+from scasml_gp_tpu.harness.convergence_rate import ConvergenceRate
+from scasml_gp_tpu.harness.inference_scaling import InferenceScaling
+from scasml_gp_tpu.harness.repeated import RepeatedExperiment
+from scasml_gp_tpu.harness.simple_scaling import SimpleScaling
+from scasml_gp_tpu.harness.simple_uniform import SimpleUniform
+from scasml_gp_tpu.picard.mlp import MLP, MLPFullHistory
+from scasml_gp_tpu.picard.scasml import ScaSML, ScaSMLFullHistory
+
+HARNESSES = {
+    "SimpleUniform": SimpleUniform,
+    "RepeatedExperiment": RepeatedExperiment,
+    "ConvergenceRate": ConvergenceRate,
+    "InferenceScaling": InferenceScaling,
+    "SimpleScaling": SimpleScaling,
+    "ComputingBudget": ComputingBudget,
+}
+
+GP_CLASSES = {
+    "GradDependentNonlinear": GPGradDependentNonlinear,
+    "AllenCahn": GPAllenCahn,
+}
+
+
+def build_solvers(config: RunConfig):
+    """(equation, gp, mlp, scasml) per the config's PDE/dim/variant."""
+    eq_cls = EQUATIONS[config.equation]
+    eq = eq_cls(n_input=config.n_input)
+    gp = GP_CLASSES[config.equation](eq, config.gp)
+    chunk = config.picard.batch_chunk
+    if config.picard.variant == "full_history":
+        mlp = MLPFullHistory(eq, batch_chunk=chunk)
+        scasml = ScaSMLFullHistory(eq, gp, batch_chunk=chunk)
+    else:
+        mlp = MLP(eq, batch_chunk=chunk)
+        scasml = ScaSML(eq, gp, batch_chunk=chunk)
+    return eq, gp, mlp, scasml
+
+
+def run(config: RunConfig, **test_kwargs):
+    """Build solvers + harness from the config and execute one run."""
+    eq, gp, mlp, scasml = build_solvers(config)
+    harness_cls = HARNESSES[config.harness]
+    harness = harness_cls(eq, gp, mlp, scasml)
+    save_path = f"{config.save_path}/{config.equation}/{config.dim}d"
+    kwargs = dict(seed=config.seed)
+    if config.harness in ("SimpleUniform", "RepeatedExperiment"):
+        kwargs.update(
+            rhomax=config.picard.rho,
+            num_domain=config.test_domain,
+            num_boundary=config.test_boundary,
+            train_domain=config.num_domain,
+            train_boundary=config.num_boundary,
+        )
+    if config.picard.variant == "full_history" and config.harness not in (
+        "SimpleScaling",
+    ):
+        kwargs["M"] = config.picard.M
+    kwargs.update(test_kwargs)
+    return harness.test(save_path, **kwargs)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", help="JSON RunConfig file")
+    parser.add_argument("--equation", default="GradDependentNonlinear")
+    parser.add_argument("--dim", type=int, default=20)
+    parser.add_argument("--variant", default="quadrature",
+                        choices=["quadrature", "full_history"])
+    parser.add_argument("--harness", default="SimpleUniform",
+                        choices=sorted(HARNESSES))
+    parser.add_argument("--save-path", default="results")
+    parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--rho", type=int, default=2)
+    parser.add_argument("--M", type=int, default=3)
+    parser.add_argument("--batch-chunk", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    if args.config:
+        with open(args.config) as fh:
+            config = RunConfig.from_json(fh.read())
+    else:
+        config = RunConfig(
+            equation=args.equation,
+            dim=args.dim,
+            harness=args.harness,
+            save_path=args.save_path,
+            seed=args.seed,
+        )
+        config = dataclasses.replace(
+            config,
+            picard=dataclasses.replace(
+                config.picard, variant=args.variant, rho=args.rho, M=args.M,
+                batch_chunk=args.batch_chunk,
+            ),
+        )
+    result = run(config)
+    print("done:", config.harness, file=sys.stderr)
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""SimpleUniform: one train + one test comparison of the three solvers.
+
+Parity with reference ``tests/SimpleUniform.py:24-516``: train the GP on
+1000+200 points, predict all three solvers on a fresh 1000+200 test set,
+NaN-mask, compute L1/L2/rel-L2 + paired t-tests + the GP PDE-residual stats,
+and emit the publication figures (error violin, GP/MLP-vs-SCaSML hexbin diff
+maps, error bars) plus a text log and metrics.json.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from scasml_gp_tpu.harness import plots
+from scasml_gp_tpu.harness.base import HarnessBase
+from scasml_gp_tpu.harness.metrics import summarize
+from scasml_gp_tpu.utils.logio import tee_log
+
+
+class SimpleUniform(HarnessBase):
+    def test(
+        self,
+        save_path: str,
+        rhomax: int = 2,
+        num_domain: int = 1000,
+        num_boundary: int = 200,
+        train_domain: int = 1000,
+        train_boundary: int = 200,
+        seed: int = 1234,
+        make_plots: bool = True,
+        **solve_kwargs,
+    ):
+        path = self._workdir(save_path)
+        n = rhomax
+
+        x_dom, x_bdy = self._train_points(train_domain, train_boundary, seed)
+        _, t_train = self._timed(self.solver1.GPsolver, x_dom, x_bdy)
+
+        x_test, exact = self._test_points(num_domain, num_boundary, seed + 1)
+
+        sol1, time1 = self._timed(self.solver1.predict, x_test)
+        sol2, time2 = self._timed(
+            self.solver2.u_solve, n, rhomax, x_test, **solve_kwargs
+        )
+        sol3, time3 = self._timed(
+            self.solver3.u_solve, n, rhomax, x_test, **solve_kwargs
+        )
+
+        summary = summarize(
+            {"GP": sol1, "MLP": sol2, "SCaSML": sol3}, exact
+        )
+        mask = summary.pop("mask")
+        errors = summary.pop("errors")
+
+        pde_loss = np.asarray(
+            self.solver1.compute_PDE_loss(x_test[mask]), np.float64
+        ).ravel()
+        result = {
+            **summary,
+            "times": {"GP": time1, "MLP": time2, "SCaSML": time3,
+                      "GP_train": t_train},
+            "PDE_loss": {"mean": float(pde_loss.mean()),
+                         "std": float(pde_loss.std())},
+        }
+
+        with tee_log(f"{path}/SimpleUniform.log"):
+            print(f"Total time for GP: {time1} seconds")
+            print(f"Total time for MLP: {time2} seconds")
+            print(f"Total time for ScaSML: {time3} seconds")
+            for name in ("GP", "MLP", "SCaSML"):
+                print(f"{name} relative L2 error: "
+                      f"{summary['metrics'][name]['rel_L2']:.5f}")
+            print(f"Real solution L2: {summary['real_sol_L2']:.4f}")
+            print(f"PDE loss mean: {result['PDE_loss']['mean']:.4g} "
+                  f"std: {result['PDE_loss']['std']:.4g}")
+            for pair, t in summary["t_tests"].items():
+                print(f"t-test {pair}: t={t['t']:.3f} p={t['p']:.3g}")
+
+        self._dump(path, "metrics.json", result)
+
+        if make_plots:
+            plots.error_violin(errors, f"{path}/Error_Distribution.pdf")
+            coords = np.asarray(x_test)[mask, :2]
+            abs_err = {k: np.abs(v) for k, v in errors.items()}
+            plots.diff_hexbin(
+                coords, abs_err["GP"] - abs_err["SCaSML"],
+                "Error Difference (GP - SCaSML)",
+                f"{path}/GP_vs_SCaSML.pdf",
+            )
+            plots.diff_hexbin(
+                coords, abs_err["MLP"] - abs_err["SCaSML"],
+                "Error Difference (MLP - SCaSML)",
+                f"{path}/MLP_vs_SCaSML.pdf",
+            )
+            plots.error_bars(summary["metrics"], "rel_L2",
+                             f"{path}/Relative_L2.pdf")
+        return result

@@ -1,0 +1,126 @@
+"""Harness-layer tests: each of the six harnesses runs end-to-end on a tiny
+problem and produces the expected artifacts (log, metrics.json, PDFs)."""
+
+import dataclasses
+import json
+import os
+
+import pytest
+
+from scasml_gp_tpu.config import GPConfig, PicardConfig, RunConfig
+from scasml_gp_tpu.equations import GradDependentNonlinear
+from scasml_gp_tpu.gp import GPGradDependentNonlinear
+from scasml_gp_tpu.harness import (
+    ComputingBudget,
+    ConvergenceRate,
+    InferenceScaling,
+    RepeatedExperiment,
+    SimpleScaling,
+    SimpleUniform,
+    run,
+)
+from scasml_gp_tpu.picard import MLP, MLPFullHistory, ScaSML, ScaSMLFullHistory
+
+D = 3
+
+
+def make_quad():
+    eq = GradDependentNonlinear(n_input=D + 1)
+    gp = GPGradDependentNonlinear(eq, GPConfig(gn_steps=6))
+    return eq, gp, MLP(eq), ScaSML(eq, gp)
+
+
+def make_fh():
+    eq = GradDependentNonlinear(n_input=D + 1)
+    gp = GPGradDependentNonlinear(eq, GPConfig(gn_steps=6))
+    return eq, gp, MLPFullHistory(eq), ScaSMLFullHistory(eq, gp)
+
+
+def _check_artifacts(base, harness_name, files):
+    root = os.path.join(base, harness_name)
+    for f in files:
+        assert os.path.exists(os.path.join(root, f)), f
+    with open(os.path.join(root, "metrics.json")) as fh:
+        return json.load(fh)
+
+
+def test_simple_uniform(tmp_path):
+    h = SimpleUniform(*make_quad())
+    out = h.test(str(tmp_path), rhomax=2, num_domain=80, num_boundary=16,
+                 train_domain=60, train_boundary=16)
+    m = _check_artifacts(tmp_path, "SimpleUniform",
+                         ["SimpleUniform.log", "metrics.json",
+                          "Error_Distribution.pdf", "GP_vs_SCaSML.pdf"])
+    assert set(m["metrics"]) == {"GP", "MLP", "SCaSML"}
+    assert out["metrics"]["SCaSML"]["rel_L2"] < 1.0
+
+
+def test_repeated_experiment(tmp_path):
+    h = RepeatedExperiment(*make_fh())
+    out = h.test(str(tmp_path), rhomax=2, num_domain=60, num_boundary=12,
+                 train_domain=60, train_boundary=16, num_repetitions=3, M=2)
+    m = _check_artifacts(tmp_path, "RepeatedExperiment",
+                         ["RepeatedExperiment.log", "metrics.json",
+                          "RelL2_Repetitions.pdf"])
+    assert m["num_repetitions"] == 3
+    assert "GP_vs_SCaSML" in m["t_tests"]
+
+
+def test_convergence_rate(tmp_path):
+    h = ConvergenceRate(*make_quad())
+    out = h.test(str(tmp_path), n_samples=60, gn_steps=6,
+                 sizes_domain=[40, 80, 120], sizes_boundary=[8, 16, 24])
+    _check_artifacts(tmp_path, "ConvergenceRate",
+                     ["ConvergenceRate.log", "metrics.json",
+                      "ConvergenceRate.pdf"])
+    # errors should shrink with more data -> negative slope
+    assert out["slopes"]["GP"] < 0.2
+
+
+def test_inference_scaling(tmp_path):
+    h = InferenceScaling(*make_quad())
+    out = h.test(str(tmp_path), rhomax=2, n_samples=60, train_domain=60,
+                 train_boundary=16, gn_steps=6)
+    _check_artifacts(tmp_path, "InferenceScaling",
+                     ["InferenceScaling.log", "metrics.json",
+                      "InferenceScaling_Improvement.pdf"])
+    assert len(out["improvement_pct"]) == 2
+    assert out["evaluation_counter"][1] > out["evaluation_counter"][0]
+
+
+def test_simple_scaling(tmp_path):
+    h = SimpleScaling(*make_fh())
+    out = h.test(str(tmp_path), max_base=3, n_samples=60, train_domain=60,
+                 train_boundary=16, gn_steps=6)
+    _check_artifacts(tmp_path, "SimpleScaling",
+                     ["SimpleScaling.log", "metrics.json",
+                      "SimpleScaling_Improvement.pdf"])
+    assert out["sample_base"] == [2, 3]
+
+
+def test_computing_budget(tmp_path):
+    h = ComputingBudget(*make_quad())
+    out = h.test(str(tmp_path), budget_levels=(1, 2), num_domain=60,
+                 num_boundary=12, train_domain=60, train_boundary=16)
+    _check_artifacts(tmp_path, "ComputingBudget",
+                     ["ComputingBudget.log", "metrics.json",
+                      "ComputingBudget_Errors.pdf"])
+    assert len(out["rel_L2"]["SCaSML"]) == 2
+
+
+def test_runner_end_to_end(tmp_path):
+    config = RunConfig(
+        dim=D,
+        num_domain=60, num_boundary=16,
+        test_domain=60, test_boundary=12,
+        harness="SimpleUniform",
+        save_path=str(tmp_path),
+        gp=GPConfig(gn_steps=6),
+        picard=PicardConfig(variant="full_history", M=2),
+    )
+    out = run(config)
+    assert out["metrics"]["SCaSML"]["rel_L2"] < 1.0
+    assert os.path.exists(
+        os.path.join(str(tmp_path), "GradDependentNonlinear", f"{D}d",
+                     "SimpleUniform", "metrics.json")
+    )
