@@ -57,6 +57,10 @@ class GPConfig:
     # for parity experiments.
     laplacian: str = "exact"
     laplacian_subset_size: int = 5
+    # Posterior evaluation backend: 'xla' (fused-by-compiler), 'pallas'
+    # (hand-tiled VMEM kernel, gp/pallas_posterior.py), or 'auto' (pallas on
+    # TPU for high-dimensional problems where it measures faster).
+    posterior_backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

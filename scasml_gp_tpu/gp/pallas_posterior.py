@@ -1,0 +1,295 @@
+"""Pallas TPU kernel for the fused GP posterior evaluation.
+
+The XLA path (:mod:`scasml_gp_tpu.gp.posterior`) materializes several
+(n x N_train) coefficient matrices in HBM per output (u, dt, div, lap, grad
+coefficients); at large n (every Picard tree node) and large N_train this is
+HBM-bandwidth bound.  This kernel computes everything in one pass over
+(TI x TJ) VMEM tiles:
+
+  - ONE MXU matmul per tile pair produces the pairwise inner products;
+  - the pair statistics (r2, q, s, dt) and all weighted polynomial blocks are
+    VPU elementwise math on the tile, never touching HBM;
+  - row-reductions accumulate the outputs [u, dt_u, div_u, lap_u, and the
+    gradient's rank-1 coefficients] into an (8, n) block revisited across the
+    y-tile grid axis; the gradient's dense terms (A @ Y, B @ Y) are a second
+    MXU matmul per tile.
+
+Memory traffic drops from O(n*N) per output to O(n*N_feature_tiles) input reads
++ O(n) outputs — the speed-of-light layout for this contraction.
+
+Interface: :func:`dom_posterior_tiles` computes the interior-set contribution;
+the (small) boundary-set contribution and the final gradient assembly stay in
+XLA (:func:`posterior_eval_fused`), giving results identical to the reference
+semantics (models/GP.py predict/compute_gradient/compute_PDE_loss).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from scasml_gp_tpu.gp.posterior import PosteriorOut, _split_r
+
+# Output row layout of the (8, n) ops block.
+ROW_U, ROW_DT, ROW_DIV, ROW_LAP, ROW_RSA, ROW_RSB, ROW_RSC, ROW_RSE = range(8)
+
+_TI = 256   # x-tile (eval points)
+_TJ = 256   # y-tile (training points)
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _round_up(a, b):
+    return _cdiv(a, b) * b
+
+
+def _kernel(
+    g_ref, x_ref, xs_ref, y_ref, r_ref, ops_ref, ay_ref, by_ref,
+    *, d: int, want_ops: bool, want_grad: bool,
+):
+    j = pl.program_id(1)
+    g = g_ref[0, 0]
+
+    y = y_ref[:]                                    # (TJ, Fp)
+    x = x_ref[:]                                    # (TI, Fp)
+    # Pair inner products on the MXU; everything else is VPU math.
+    xyT = jax.lax.dot_general(
+        y, x, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                               # (TJ, TI)
+
+    yn2 = jnp.sum(y * y, axis=1, keepdims=True)     # (TJ, 1)
+    yt = y[:, d : d + 1]                            # (TJ, 1)
+    ys = jnp.sum(y, axis=1, keepdims=True) - yt     # spatial sum
+    xn2 = xs_ref[0:1, :]                            # (1, TI)
+    xs = xs_ref[1:2, :]
+    xt = xs_ref[2:3, :]
+
+    r2 = jnp.maximum(yn2 + xn2 - 2.0 * xyT, 0.0)
+    dt = xt - yt                                    # x_t - y_t, (TJ, TI)
+    s = xs - ys
+    q = jnp.maximum(r2 - dt * dt, 0.0)
+    kappa = jnp.exp(-0.5 * g * r2)
+    lap = g * g * q - g * d
+
+    r1 = r_ref[:, 0:1]
+    r3 = r_ref[:, 1:2]
+    r4 = r_ref[:, 2:3]
+    r5 = r_ref[:, 3:4]
+
+    P_u = r1 + lap * r3 + g * dt * r4 + g * s * r5
+    kPu = kappa * P_u
+
+    @pl.when(j == 0)
+    def _():
+        ops_ref[:] = jnp.zeros_like(ops_ref)
+
+    ops_ref[ROW_U : ROW_U + 1, :] += jnp.sum(kPu, axis=0, keepdims=True)
+
+    if want_ops:
+        P_dt = (
+            -g * dt * r1
+            - g * dt * lap * r3
+            + g * (1.0 - g * dt * dt) * r4
+            - g * g * s * dt * r5
+        )
+        P_div = (
+            -g * s * r1
+            + g * g * s * (2.0 + d - g * q) * r3
+            - g * g * s * dt * r4
+            + (g * d - g * g * s * s) * r5
+        )
+        P_lap = (
+            lap * r1
+            + g * g * (g * g * q * q - g * q * (2.0 * d + 4.0) + d * (d + 2.0)) * r3
+            + g * dt * lap * r4
+            - g * g * s * (2.0 + d - g * q) * r5
+        )
+        ops_ref[ROW_DT : ROW_DT + 1, :] += jnp.sum(kappa * P_dt, 0, keepdims=True)
+        ops_ref[ROW_DIV : ROW_DIV + 1, :] += jnp.sum(kappa * P_div, 0, keepdims=True)
+        ops_ref[ROW_LAP : ROW_LAP + 1, :] += jnp.sum(kappa * P_lap, 0, keepdims=True)
+
+    if want_grad:
+        A = -g * kPu                                 # delta coefficient
+        B = 2.0 * g * g * kappa * r3                 # delta_spatial coefficient
+        ops_ref[ROW_RSA : ROW_RSA + 1, :] += jnp.sum(A, 0, keepdims=True)
+        ops_ref[ROW_RSB : ROW_RSB + 1, :] += jnp.sum(B, 0, keepdims=True)
+        ops_ref[ROW_RSC : ROW_RSC + 1, :] += jnp.sum(g * kappa * r5, 0, keepdims=True)
+        ops_ref[ROW_RSE : ROW_RSE + 1, :] += jnp.sum(g * kappa * r4, 0, keepdims=True)
+
+        @pl.when(j == 0)
+        def _():
+            ay_ref[:] = jnp.zeros_like(ay_ref)
+            by_ref[:] = jnp.zeros_like(by_ref)
+
+        ay_ref[:] += jax.lax.dot_general(
+            A, y, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )                                            # (TI, Fp)
+        by_ref[:] += jax.lax.dot_general(
+            B, y, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("d", "want_ops", "want_grad", "interpret"),
+)
+def dom_posterior_tiles(
+    x: jax.Array,       # (n, d+1) eval points
+    y: jax.Array,       # (N, d+1) interior training points
+    r_dom: jax.Array,   # (N, 4) columns [r1, r3, r4, r5]
+    gamma,
+    d: int,
+    want_ops: bool = False,
+    want_grad: bool = False,
+    interpret: bool = False,
+):
+    """Interior-set posterior contributions via the fused Pallas kernel.
+
+    Returns (ops8 (8, n), AY (n, Fp) | None, BY (n, Fp) | None); Fp is the
+    128-padded feature dim (slice [:, :d+1] for the true features).
+    """
+    n, f = x.shape
+    N = y.shape[0]
+    fp = _round_up(f, 128)
+    n_pad = _round_up(max(n, 8), _TI)
+    N_pad = _round_up(max(N, 8), _TJ)
+
+    xp = jnp.zeros((n_pad, fp), jnp.float32).at[:n, :f].set(x.astype(jnp.float32))
+    yp = jnp.zeros((N_pad, fp), jnp.float32).at[:N, :f].set(y.astype(jnp.float32))
+    # padded r rows are zero => padded training points contribute nothing
+    rp = jnp.zeros((N_pad, 128), jnp.float32).at[:N, :4].set(
+        r_dom.astype(jnp.float32)
+    )
+    xt_col = xp[:, d]
+    xs_stats = jnp.zeros((8, n_pad), jnp.float32)
+    xs_stats = xs_stats.at[0].set(jnp.sum(xp * xp, axis=1))
+    xs_stats = xs_stats.at[1].set(jnp.sum(xp, axis=1) - xt_col)
+    xs_stats = xs_stats.at[2].set(xt_col)
+
+    grid = (n_pad // _TI, N_pad // _TJ)
+    kernel = partial(
+        _kernel, d=d, want_ops=want_ops, want_grad=want_grad
+    )
+    g_arr = jnp.asarray(gamma, jnp.float32).reshape(1, 1)
+    out_shapes = [jax.ShapeDtypeStruct((8, n_pad), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((8, _TI), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+    ]
+    # AY/BY are always declared (simplifies the kernel signature); when
+    # want_grad is False they are written by no one and XLA drops them.
+    out_shapes += [jax.ShapeDtypeStruct((n_pad, fp), jnp.float32)] * 2
+    out_specs += [
+        pl.BlockSpec((_TI, fp), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    ] * 2
+
+    flops_tile = 2 * _TI * _TJ * fp * (3 if want_grad else 1)
+    ops8, ay, by = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_TI, fp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, _TI), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TJ, fp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TJ, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shapes,
+        out_specs=out_specs,
+        cost_estimate=pl.CostEstimate(
+            flops=grid[0] * grid[1] * flops_tile,
+            bytes_accessed=(n_pad * fp + N_pad * fp) * 4 * grid[1],
+            transcendentals=grid[0] * grid[1] * _TI * _TJ,
+        ),
+        interpret=interpret,
+    )(g_arr, xp, xs_stats, yp, rp)
+
+    ops8 = ops8[:, :n]
+    if want_grad:
+        return ops8, ay[:n], by[:n]
+    return ops8, None, None
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+@partial(jax.jit, static_argnames=("dim", "want_grad", "want_ops"))
+def _posterior_block_fused(
+    x, x_dom, x_bdy, r, gamma, dim: int, want_grad: bool, want_ops: bool
+) -> PosteriorOut:
+    """Pallas interior contribution + XLA boundary contribution + assembly.
+
+    Semantics identical to posterior._posterior_block (validated in
+    tests/test_pallas.py)."""
+    from scasml_gp_tpu.gp.kernels import pair_stats
+
+    g = jnp.asarray(gamma, jnp.float32)
+    d = dim
+    n_dom = x_dom.shape[0]
+    n_bdy = x_bdy.shape[0]
+    r1, r2, r3, r4, r5 = _split_r(r.astype(jnp.float32), n_dom, n_bdy)
+    x = x.astype(jnp.float32)
+    r_dom = jnp.stack([r1, r3, r4, r5], axis=1)
+
+    ops8, ay, by = dom_posterior_tiles(
+        x, x_dom, r_dom, g, d,
+        want_ops=want_ops, want_grad=want_grad,
+        interpret=_use_interpret(),
+    )
+
+    # Boundary contribution (Nb is small) in plain XLA.
+    stb = pair_stats(x, x_bdy, g)
+    kb, sb, dtb, qb = stb.kappa, stb.s, stb.dt, stb.q
+    u = ops8[ROW_U] + kb @ r2
+
+    grad = None
+    if want_grad:
+        Ab = -g * kb * r2[None, :]
+        rsA = ops8[ROW_RSA] + jnp.sum(Ab, axis=1)
+        AY = ay[:, : d + 1] + jax.lax.dot_general(
+            Ab, x_bdy, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        grad = x * rsA[:, None] - AY
+        delta_sp = x * ops8[ROW_RSB][:, None] - by[:, : d + 1]
+        grad = grad.at[:, :-1].add(delta_sp[:, :-1])
+        grad = grad.at[:, :-1].add(ops8[ROW_RSC][:, None])
+        grad = grad.at[:, -1].add(ops8[ROW_RSE])
+
+    dt_u = div_u = lap_u = None
+    if want_ops:
+        lapb = g * g * qb - g * d
+        dt_u = ops8[ROW_DT] + (-g) * jnp.sum(kb * dtb * r2[None, :], axis=1)
+        div_u = ops8[ROW_DIV] + (-g) * jnp.sum(kb * sb * r2[None, :], axis=1)
+        lap_u = ops8[ROW_LAP] + jnp.sum(kb * lapb * r2[None, :], axis=1)
+
+    return PosteriorOut(u=u, grad=grad, dt_u=dt_u, div_u=div_u, lap_u=lap_u)
+
+
+def posterior_eval_fused(
+    x: jax.Array,
+    x_dom: jax.Array,
+    x_bdy: jax.Array,
+    r: jax.Array,
+    gamma,
+    dim: int,
+    want_grad: bool = False,
+    want_ops: bool = False,
+    chunk: Optional[int] = None,
+) -> PosteriorOut:
+    """Drop-in replacement for posterior.posterior_eval using the Pallas tile
+    kernel for the interior set. ``chunk`` is accepted for API parity; the
+    kernel's own tiling already bounds VMEM, so it is ignored."""
+    del chunk
+    return _posterior_block_fused(
+        x, x_dom, x_bdy, r, jnp.asarray(gamma, jnp.float32), dim,
+        want_grad, want_ops,
+    )

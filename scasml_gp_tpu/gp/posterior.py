@@ -155,6 +155,27 @@ def _posterior_block(
     return PosteriorOut(u=u, grad=grad, dt_u=dt_u, div_u=div_u, lap_u=lap_u)
 
 
+def select_posterior_fn(backend: str, dim: int):
+    """Pick the posterior implementation.
+
+    'xla' -> :func:`posterior_eval`; 'pallas' -> the hand-tiled VMEM kernel
+    (:mod:`scasml_gp_tpu.gp.pallas_posterior`); 'auto' -> pallas on TPU for
+    d+1 >= 64 (where it measures faster; see bench notes in that module),
+    else XLA.
+    """
+    if backend == "xla":
+        return posterior_eval
+    from scasml_gp_tpu.gp.pallas_posterior import posterior_eval_fused
+
+    if backend == "pallas":
+        return posterior_eval_fused
+    if backend == "auto":
+        if jax.default_backend() != "cpu" and dim + 1 >= 64:
+            return posterior_eval_fused
+        return posterior_eval
+    raise ValueError(f"unknown posterior backend {backend!r}")
+
+
 def posterior_eval(
     x: jax.Array,
     x_dom: jax.Array,

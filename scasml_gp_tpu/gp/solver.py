@@ -35,7 +35,7 @@ from scasml_gp_tpu.config import GPConfig
 from scasml_gp_tpu.equations.base import Equation
 from scasml_gp_tpu.gp.gram import gram_matrix, regularized_factorization
 from scasml_gp_tpu.gp.kernels import kernel_gamma
-from scasml_gp_tpu.gp.posterior import posterior_eval
+from scasml_gp_tpu.gp.posterior import posterior_eval, select_posterior_fn
 from scasml_gp_tpu.gp.state import GPState
 
 
@@ -152,7 +152,10 @@ class GP:
         self.nugget = self.config.nugget
         self.form: GPForm = self.form_cls(equation) if self.form_cls else None
         self.state: Optional[GPState] = None
-        self.eval_chunk = 4096   # bounds (chunk x phi_dim) posterior intermediates
+        self.eval_chunk = 4096  # bounds (chunk x phi_dim) posterior buffers
+        self._posterior = select_posterior_fn(
+            self.config.posterior_backend, self.d
+        )
 
     # ------------------------------------------------------------------ train
     def GPsolver(
@@ -288,7 +291,7 @@ class GP:
     def predict(self, x_t_infer) -> jax.Array:
         """Posterior mean, shape (n, 1) (reference models/GP.py:653-671)."""
         self._require_state()
-        out = posterior_eval(
+        out = self._posterior(
             jnp.asarray(x_t_infer, jnp.float32),
             self.state.x_dom,
             self.state.x_bdy,
@@ -303,7 +306,7 @@ class GP:
         """Full space-time posterior gradient, shape (n, d+1)
         (reference models/GP.py:673-687; ``sol_infer`` kept for API parity)."""
         self._require_state()
-        out = posterior_eval(
+        out = self._posterior(
             jnp.asarray(x_t_infer, jnp.float32),
             self.state.x_dom,
             self.state.x_bdy,
@@ -320,7 +323,7 @@ class GP:
         (reference models/GP.py:746-769)."""
         self._require_state()
         x = jnp.asarray(x_t_infer, jnp.float32)
-        out = posterior_eval(
+        out = self._posterior(
             x,
             self.state.x_dom,
             self.state.x_bdy,

@@ -23,7 +23,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from scasml_gp_tpu.gp.posterior import posterior_eval
 from scasml_gp_tpu.gp.solver import GP
 from scasml_gp_tpu.picard.core import (
     PicardModel,
@@ -54,6 +53,7 @@ class _ScaSMLBase(_PicardBase):
         dim = self.dim
         form = self.GP.form
         chunk = self.eval_chunk
+        posterior_eval = self.GP._posterior
 
         def f_breve(params, x_t, u_breve, z_breve):
             out = posterior_eval(
