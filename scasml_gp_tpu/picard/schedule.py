@@ -51,8 +51,22 @@ class PicardTables(NamedTuple):
 
 
 @functools.lru_cache(maxsize=None)
-def approx_parameters(rhomax: int, T: float) -> PicardTables:
+def approx_parameters(
+    rhomax: int, T: float, backend: str = "auto"
+) -> PicardTables:
+    """Build the level tables; 'auto' prefers the native C++ builder
+    (scasml_gp_tpu.utils.native / native/schedule.cc) and falls back to the
+    pure-Python path ('python') when no toolchain is available."""
     rhomax = int(rhomax)
+    if backend in ("auto", "native"):
+        from scasml_gp_tpu.utils.native import native_picard_tables
+
+        out = native_picard_tables(rhomax, float(T))
+        if out is not None:
+            Mf, Mg, Q, c, w = out
+            return PicardTables(Mf=Mf, Mg=Mg, Q=Q, c=c, w=w)
+        if backend == "native":
+            raise RuntimeError("native schedule library unavailable")
     Q = np.zeros((rhomax, rhomax), dtype=np.int64)
     Mf = np.zeros((rhomax, rhomax), dtype=np.int64)
     Mg = np.zeros((rhomax, rhomax + 1), dtype=np.int64)
