@@ -48,6 +48,11 @@ class GPConfig:
     """Gaussian-process surrogate knobs (reference ``models/GP.py``)."""
 
     nugget: float = 1e-2            # reference models/GP.py:26
+    # Time length-scale multiplier for the separable space/time kernel:
+    # sigma_t = time_scale * sigma_k. 1.0 reproduces the reference's isotropic
+    # kernel (models/GP.py:25) exactly; smaller values resolve the short
+    # [0, T] time axis at large d (see gp/kernels.py).
+    time_scale: float = 1.0
     gn_steps: int = 20              # reference models/GP.py:487 (GN_steps default)
     damping: float = 1e-4           # reference models/GP.py:491
     grad_tol: float = 1e-5          # reference models/GP.py:521 early stop

@@ -5,6 +5,8 @@ from scasml_gp_tpu.gp.kernels import (
     PairStats,
     grad_coeffs,
     kernel_gamma,
+    kernel_gammas,
+    split_gamma,
     op_block,
     pair_stats,
 )
@@ -27,6 +29,8 @@ __all__ = [
     "PairStats",
     "grad_coeffs",
     "kernel_gamma",
+    "kernel_gammas",
+    "split_gamma",
     "op_block",
     "pair_stats",
     "gram_matrix",

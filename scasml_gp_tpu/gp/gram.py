@@ -56,12 +56,26 @@ def regularized_factorization(
     The explicit inverse is a one-time O(phi_dim^3) cost that makes every
     Newton step and the final representer solve a pure matmul — the TPU-native
     replacement for the reference's per-step ``jnp.linalg.solve`` calls
-    (models/GP.py:439,533,599).  Computed via Cholesky for stability.
+    (models/GP.py:439,533,599).  Cholesky when it succeeds; when fp32
+    round-off makes K + nugget*I numerically indefinite the branch falls back
+    to an eigendecomposition with clipped-and-shifted eigenvalues — the exact
+    semantics of the reference's SVD pseudo-Cholesky (models/GP.py:258-266)
+    for a symmetric matrix.
     """
     K = 0.5 * (K + K.T)
-    K_pert = K + nugget * jnp.eye(K.shape[0], dtype=K.dtype)
-    L = jnp.linalg.cholesky(K_pert)
     eye = jnp.eye(K.shape[0], dtype=K.dtype)
-    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-    C = Linv.T @ Linv
+    K_pert = K + nugget * eye
+    L = jnp.linalg.cholesky(K_pert)
+    ok = jnp.all(jnp.isfinite(L))
+
+    def chol_inv(_):
+        Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+        return Linv.T @ Linv
+
+    def eigh_inv(_):
+        S, U = jnp.linalg.eigh(K)
+        S_pert = jnp.maximum(S, 0.0) + nugget
+        return (U / S_pert[None, :]) @ U.T
+
+    C = jax.lax.cond(ok, chol_inv, eigh_inv, None)
     return K_pert, C

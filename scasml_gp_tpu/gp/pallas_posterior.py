@@ -11,33 +11,35 @@ HBM-bandwidth bound.  This kernel computes everything in one pass over
     VPU elementwise math on the tile, never touching HBM;
   - row-reductions accumulate the outputs [u, dt_u, div_u, lap_u, and the
     gradient's rank-1 coefficients] into an (8, n) block revisited across the
-    y-tile grid axis; the gradient's dense terms (A @ Y, B @ Y) are a second
-    MXU matmul per tile.
+    y-tile grid axis; the gradient's dense terms (A_sp @ Y, A_t @ Y) are two
+    more MXU matmuls per tile.
 
 Memory traffic drops from O(n*N) per output to O(n*N_feature_tiles) input reads
 + O(n) outputs — the speed-of-light layout for this contraction.
 
-Interface: :func:`dom_posterior_tiles` computes the interior-set contribution;
-the (small) boundary-set contribution and the final gradient assembly stay in
-XLA (:func:`posterior_eval_fused`), giving results identical to the reference
-semantics (models/GP.py predict/compute_gradient/compute_PDE_loss).
+Supports the separable space/time kernel (gs, gt) of
+:mod:`scasml_gp_tpu.gp.kernels`.  Interface: :func:`dom_posterior_tiles`
+computes the interior-set contribution; the (small) boundary-set contribution
+and the final gradient assembly stay in XLA (:func:`posterior_eval_fused`),
+giving results identical to the reference semantics (models/GP.py
+predict/compute_gradient/compute_PDE_loss).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from scasml_gp_tpu.gp.kernels import pair_stats, split_gamma
 from scasml_gp_tpu.gp.posterior import PosteriorOut, _split_r
 
 # Output row layout of the (8, n) ops block.
-ROW_U, ROW_DT, ROW_DIV, ROW_LAP, ROW_RSA, ROW_RSB, ROW_RSC, ROW_RSE = range(8)
+ROW_U, ROW_DT, ROW_DIV, ROW_LAP, ROW_ASP, ROW_AT, ROW_C, ROW_E = range(8)
 
 _TI = 256   # x-tile (eval points)
 _TJ = 256   # y-tile (training points)
@@ -52,11 +54,12 @@ def _round_up(a, b):
 
 
 def _kernel(
-    g_ref, x_ref, xs_ref, y_ref, r_ref, ops_ref, ay_ref, by_ref,
+    g_ref, x_ref, xs_ref, y_ref, r_ref, ops_ref, asy_ref, aty_ref,
     *, d: int, want_ops: bool, want_grad: bool,
 ):
     j = pl.program_id(1)
-    g = g_ref[0, 0]
+    gs = g_ref[0, 0]
+    gt = g_ref[0, 1]
 
     y = y_ref[:]                                    # (TJ, Fp)
     x = x_ref[:]                                    # (TI, Fp)
@@ -76,15 +79,15 @@ def _kernel(
     dt = xt - yt                                    # x_t - y_t, (TJ, TI)
     s = xs - ys
     q = jnp.maximum(r2 - dt * dt, 0.0)
-    kappa = jnp.exp(-0.5 * g * r2)
-    lap = g * g * q - g * d
+    kappa = jnp.exp(-0.5 * (gs * q + gt * dt * dt))
+    lap = gs * gs * q - gs * d
 
     r1 = r_ref[:, 0:1]
     r3 = r_ref[:, 1:2]
     r4 = r_ref[:, 2:3]
     r5 = r_ref[:, 3:4]
 
-    P_u = r1 + lap * r3 + g * dt * r4 + g * s * r5
+    P_u = r1 + lap * r3 + gt * dt * r4 + gs * s * r5
     kPu = kappa * P_u
 
     @pl.when(j == 0)
@@ -95,45 +98,48 @@ def _kernel(
 
     if want_ops:
         P_dt = (
-            -g * dt * r1
-            - g * dt * lap * r3
-            + g * (1.0 - g * dt * dt) * r4
-            - g * g * s * dt * r5
+            -gt * dt * r1
+            - gt * dt * lap * r3
+            + gt * (1.0 - gt * dt * dt) * r4
+            - gs * gt * s * dt * r5
         )
         P_div = (
-            -g * s * r1
-            + g * g * s * (2.0 + d - g * q) * r3
-            - g * g * s * dt * r4
-            + (g * d - g * g * s * s) * r5
+            -gs * s * r1
+            + gs * gs * s * (2.0 + d - gs * q) * r3
+            - gs * gt * s * dt * r4
+            + (gs * d - gs * gs * s * s) * r5
         )
         P_lap = (
             lap * r1
-            + g * g * (g * g * q * q - g * q * (2.0 * d + 4.0) + d * (d + 2.0)) * r3
-            + g * dt * lap * r4
-            - g * g * s * (2.0 + d - g * q) * r5
+            + gs * gs
+            * (gs * gs * q * q - gs * q * (2.0 * d + 4.0) + d * (d + 2.0)) * r3
+            + gt * dt * lap * r4
+            - gs * gs * s * (2.0 + d - gs * q) * r5
         )
         ops_ref[ROW_DT : ROW_DT + 1, :] += jnp.sum(kappa * P_dt, 0, keepdims=True)
         ops_ref[ROW_DIV : ROW_DIV + 1, :] += jnp.sum(kappa * P_div, 0, keepdims=True)
         ops_ref[ROW_LAP : ROW_LAP + 1, :] += jnp.sum(kappa * P_lap, 0, keepdims=True)
 
     if want_grad:
-        A = -g * kPu                                 # delta coefficient
-        B = 2.0 * g * g * kappa * r3                 # delta_spatial coefficient
-        ops_ref[ROW_RSA : ROW_RSA + 1, :] += jnp.sum(A, 0, keepdims=True)
-        ops_ref[ROW_RSB : ROW_RSB + 1, :] += jnp.sum(B, 0, keepdims=True)
-        ops_ref[ROW_RSC : ROW_RSC + 1, :] += jnp.sum(g * kappa * r5, 0, keepdims=True)
-        ops_ref[ROW_RSE : ROW_RSE + 1, :] += jnp.sum(g * kappa * r4, 0, keepdims=True)
+        A_sp = -gs * kPu + 2.0 * gs * gs * kappa * r3   # delta_sp coefficient
+        A_t = -gt * kPu                                 # dt * e_t coefficient
+        ops_ref[ROW_ASP : ROW_ASP + 1, :] += jnp.sum(A_sp, 0, keepdims=True)
+        ops_ref[ROW_AT : ROW_AT + 1, :] += jnp.sum(A_t, 0, keepdims=True)
+        ops_ref[ROW_C : ROW_C + 1, :] += jnp.sum(gs * kappa * r5, 0, keepdims=True)
+        ops_ref[ROW_E : ROW_E + 1, :] += jnp.sum(gt * kappa * r4, 0, keepdims=True)
 
         @pl.when(j == 0)
         def _():
-            ay_ref[:] = jnp.zeros_like(ay_ref)
-            by_ref[:] = jnp.zeros_like(by_ref)
+            asy_ref[:] = jnp.zeros_like(asy_ref)
+            aty_ref[:] = jnp.zeros_like(aty_ref)
 
-        ay_ref[:] += jax.lax.dot_general(
-            A, y, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        # A_sp @ Y: spatial columns used downstream; A_t @ Y: column d gives
+        # the a_t . y_t matvec (the rest is discarded — MXU makes it free).
+        asy_ref[:] += jax.lax.dot_general(
+            A_sp, y, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )                                            # (TI, Fp)
-        by_ref[:] += jax.lax.dot_general(
-            B, y, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        aty_ref[:] += jax.lax.dot_general(
+            A_t, y, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
 
@@ -145,7 +151,7 @@ def dom_posterior_tiles(
     x: jax.Array,       # (n, d+1) eval points
     y: jax.Array,       # (N, d+1) interior training points
     r_dom: jax.Array,   # (N, 4) columns [r1, r3, r4, r5]
-    gamma,
+    gamma,              # scalar or (2,) [gs, gt]
     d: int,
     want_ops: bool = False,
     want_grad: bool = False,
@@ -153,8 +159,8 @@ def dom_posterior_tiles(
 ):
     """Interior-set posterior contributions via the fused Pallas kernel.
 
-    Returns (ops8 (8, n), AY (n, Fp) | None, BY (n, Fp) | None); Fp is the
-    128-padded feature dim (slice [:, :d+1] for the true features).
+    Returns (ops8 (8, n), ASY (n, Fp) | None, ATY (n, Fp) | None); Fp is the
+    128-padded feature dim (slice [:, :d] / [:, d] for the true columns).
     """
     n, f = x.shape
     N = y.shape[0]
@@ -175,15 +181,14 @@ def dom_posterior_tiles(
     xs_stats = xs_stats.at[2].set(xt_col)
 
     grid = (n_pad // _TI, N_pad // _TJ)
-    kernel = partial(
-        _kernel, d=d, want_ops=want_ops, want_grad=want_grad
-    )
-    g_arr = jnp.asarray(gamma, jnp.float32).reshape(1, 1)
+    kernel = partial(_kernel, d=d, want_ops=want_ops, want_grad=want_grad)
+    gs, gt = split_gamma(gamma)
+    g_arr = jnp.stack([gs, gt]).reshape(1, 2)
     out_shapes = [jax.ShapeDtypeStruct((8, n_pad), jnp.float32)]
     out_specs = [
         pl.BlockSpec((8, _TI), lambda i, j: (0, i), memory_space=pltpu.VMEM)
     ]
-    # AY/BY are always declared (simplifies the kernel signature); when
+    # ASY/ATY are always declared (simplifies the kernel signature); when
     # want_grad is False they are written by no one and XLA drops them.
     out_shapes += [jax.ShapeDtypeStruct((n_pad, fp), jnp.float32)] * 2
     out_specs += [
@@ -191,11 +196,11 @@ def dom_posterior_tiles(
     ] * 2
 
     flops_tile = 2 * _TI * _TJ * fp * (3 if want_grad else 1)
-    ops8, ay, by = pl.pallas_call(
+    ops8, asy, aty = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((_TI, fp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, _TI), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((_TJ, fp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
@@ -213,7 +218,7 @@ def dom_posterior_tiles(
 
     ops8 = ops8[:, :n]
     if want_grad:
-        return ops8, ay[:n], by[:n]
+        return ops8, asy[:n], aty[:n]
     return ops8, None, None
 
 
@@ -229,9 +234,7 @@ def _posterior_block_fused(
 
     Semantics identical to posterior._posterior_block (validated in
     tests/test_pallas.py)."""
-    from scasml_gp_tpu.gp.kernels import pair_stats
-
-    g = jnp.asarray(gamma, jnp.float32)
+    gs, gt = split_gamma(gamma)
     d = dim
     n_dom = x_dom.shape[0]
     n_bdy = x_bdy.shape[0]
@@ -239,36 +242,39 @@ def _posterior_block_fused(
     x = x.astype(jnp.float32)
     r_dom = jnp.stack([r1, r3, r4, r5], axis=1)
 
-    ops8, ay, by = dom_posterior_tiles(
-        x, x_dom, r_dom, g, d,
+    ops8, asy, aty = dom_posterior_tiles(
+        x, x_dom, r_dom, gamma, d,
         want_ops=want_ops, want_grad=want_grad,
         interpret=_use_interpret(),
     )
 
     # Boundary contribution (Nb is small) in plain XLA.
-    stb = pair_stats(x, x_bdy, g)
+    stb = pair_stats(x, x_bdy, gamma)
     kb, sb, dtb, qb = stb.kappa, stb.s, stb.dt, stb.q
     u = ops8[ROW_U] + kb @ r2
 
     grad = None
     if want_grad:
-        Ab = -g * kb * r2[None, :]
-        rsA = ops8[ROW_RSA] + jnp.sum(Ab, axis=1)
-        AY = ay[:, : d + 1] + jax.lax.dot_general(
-            Ab, x_bdy, (((1,), (0,)), ((), ())),
+        Ab_sp = -gs * kb * r2[None, :]
+        Ab_t = -gt * kb * r2[None, :]
+        rs_sp = ops8[ROW_ASP] + jnp.sum(Ab_sp, axis=1)
+        AY_sp = asy[:, :d] + jax.lax.dot_general(
+            Ab_sp, x_bdy[:, :-1], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        grad = x * rsA[:, None] - AY
-        delta_sp = x * ops8[ROW_RSB][:, None] - by[:, : d + 1]
-        grad = grad.at[:, :-1].add(delta_sp[:, :-1])
-        grad = grad.at[:, :-1].add(ops8[ROW_RSC][:, None])
-        grad = grad.at[:, -1].add(ops8[ROW_RSE])
+        grad_sp = (
+            x[:, :-1] * rs_sp[:, None] - AY_sp + ops8[ROW_C][:, None]
+        )
+        rs_t = ops8[ROW_AT] + jnp.sum(Ab_t, axis=1)
+        aty_full = aty[:, d] + Ab_t @ x_bdy[:, -1]
+        grad_t = x[:, -1] * rs_t - aty_full + ops8[ROW_E]
+        grad = jnp.concatenate([grad_sp, grad_t[:, None]], axis=1)
 
     dt_u = div_u = lap_u = None
     if want_ops:
-        lapb = g * g * qb - g * d
-        dt_u = ops8[ROW_DT] + (-g) * jnp.sum(kb * dtb * r2[None, :], axis=1)
-        div_u = ops8[ROW_DIV] + (-g) * jnp.sum(kb * sb * r2[None, :], axis=1)
+        lapb = gs * gs * qb - gs * d
+        dt_u = ops8[ROW_DT] + (-gt) * jnp.sum(kb * dtb * r2[None, :], axis=1)
+        div_u = ops8[ROW_DIV] + (-gs) * jnp.sum(kb * sb * r2[None, :], axis=1)
         lap_u = ops8[ROW_LAP] + jnp.sum(kb * lapb * r2[None, :], axis=1)
 
     return PosteriorOut(u=u, grad=grad, dt_u=dt_u, div_u=div_u, lap_u=lap_u)

@@ -29,7 +29,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from scasml_gp_tpu.gp.kernels import pair_stats
+from scasml_gp_tpu.gp.kernels import pair_stats, split_gamma
 
 
 class PosteriorOut(NamedTuple):
@@ -62,95 +62,94 @@ def _posterior_block(
     want_ops: bool,
 ) -> PosteriorOut:
     """Single-pass posterior for one block of evaluation points x (n, d+1)."""
-    g = gamma
+    gs, gt = split_gamma(gamma)
     d = dim
     n_dom = x_dom.shape[0]
     n_bdy = x_bdy.shape[0]
     r1, r2, r3, r4, r5 = _split_r(r.astype(jnp.float32), n_dom, n_bdy)
     x = x.astype(jnp.float32)
 
-    st = pair_stats(x, x_dom, g)          # (n, N) statistics vs interior set
-    stb = pair_stats(x, x_bdy, g)         # (n, Nb) statistics vs boundary set
+    st = pair_stats(x, x_dom, gamma)      # (n, N) statistics vs interior set
+    stb = pair_stats(x, x_bdy, gamma)     # (n, Nb) statistics vs boundary set
     k, q, s, dt = st.kappa, st.q, st.s, st.dt
     kb, sb, dtb = stb.kappa, stb.s, stb.dt
-    lap = g * g * q - g * d               # one-sided Laplacian factor
+    lap = gs * gs * q - gs * d            # one-sided Laplacian factor
 
-    # ---- posterior mean: u = sum_j kappa * (r1 + lap r3 + g dt r4 + g s r5) ----
-    P_u = r1[None, :] + lap * r3[None, :] + g * dt * r4[None, :] + g * s * r5[None, :]
+    # ---- posterior mean: u = sum_j kappa * (r1 + lap r3 + gt dt r4 + gs s r5)
+    P_u = (
+        r1[None, :] + lap * r3[None, :]
+        + gt * dt * r4[None, :] + gs * s * r5[None, :]
+    )
     u = jnp.sum(k * P_u, axis=1) + kb @ r2
 
     grad = None
     if want_grad:
-        # grad_x of each family in the basis {delta, delta_sp, 1_sp, e_t}
-        # (kernels.grad_coeffs), with weights folded in:
-        #   A: coefficient of delta = x - y (all families contribute)
-        #   B: coefficient of delta restricted to spatial coords (LAP family)
-        #   C: coefficient of the all-ones spatial vector (DIV family)
-        #   E: coefficient of e_t (DT family)
-        A = (
-            -g * k * P_u
-        )  # every family's delta-coefficient is (-g) * its mean integrand
-        B = 2.0 * g * g * k * r3[None, :]
-        C = g * k * r5[None, :]
-        E = g * k * r4[None, :]
-        Ab = -g * kb * r2[None, :]
+        # grad_x of each family in the basis {delta_sp, dt e_t, 1_sp, e_t}
+        # (kernels.grad_coeffs) with weights folded in.  Every family's
+        # delta_sp coefficient is (-gs) * its mean integrand plus the LAP
+        # family's 2 gs^2 term; every family's dt-coefficient is (-gt) *
+        # its mean integrand.
+        A_sp = -gs * k * P_u + 2.0 * gs * gs * k * r3[None, :]
+        A_t = -gt * k * P_u
+        C = gs * k * r5[None, :]
+        E = gt * k * r4[None, :]
+        Ab_sp = -gs * kb * r2[None, :]
+        Ab_t = -gt * kb * r2[None, :]
 
-        rsA = jnp.sum(A, axis=1) + jnp.sum(Ab, axis=1)     # (n,)
-        AY = jax.lax.dot_general(
-            A, x_dom, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        rs_sp = jnp.sum(A_sp, axis=1) + jnp.sum(Ab_sp, axis=1)   # (n,)
+        AY_sp = jax.lax.dot_general(
+            A_sp, x_dom[:, :-1], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         ) + jax.lax.dot_general(
-            Ab, x_bdy, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            Ab_sp, x_bdy[:, :-1], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        grad = x * rsA[:, None] - AY                        # sum A_ij (x_i - y_j)
-
-        rsB = jnp.sum(B, axis=1)
-        BY = jax.lax.dot_general(
-            B, x_dom, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        grad_sp = (
+            x[:, :-1] * rs_sp[:, None] - AY_sp
+            + (jnp.sum(C, axis=1))[:, None]
         )
-        delta_sp = x * rsB[:, None] - BY                    # then mask to spatial
-        grad = grad.at[:, :-1].add(delta_sp[:, :-1])
-
-        grad = grad.at[:, :-1].add(jnp.sum(C, axis=1)[:, None])  # ones_spatial
-        grad = grad.at[:, -1].add(jnp.sum(E, axis=1))            # e_t
+        rs_t = jnp.sum(A_t, axis=1) + jnp.sum(Ab_t, axis=1)
+        aty = A_t @ x_dom[:, -1] + Ab_t @ x_bdy[:, -1]
+        grad_t = x[:, -1] * rs_t - aty + jnp.sum(E, axis=1)
+        grad = jnp.concatenate([grad_sp, grad_t[:, None]], axis=1)
 
     dt_u = div_u = lap_u = None
     if want_ops:
         # Apply DT/DIV/LAP on the x side of every family (closed forms from
         # kernels.op_block, weights folded into the polynomials).
-        # DT_x: (DT,ID)=-g dt; (DT,LAP)=-g dt lap; (DT,DT)=g(1-g dt^2);
-        #       (DT,DIV)=-g^2 s dt.
         P_dt = (
-            -g * dt * r1[None, :]
-            - g * dt * lap * r3[None, :]
-            + g * (1.0 - g * dt * dt) * r4[None, :]
-            - g * g * s * dt * r5[None, :]
+            -gt * dt * r1[None, :]
+            - gt * dt * lap * r3[None, :]
+            + gt * (1.0 - gt * dt * dt) * r4[None, :]
+            - gs * gt * s * dt * r5[None, :]
         )
-        dt_u = jnp.sum(k * P_dt, axis=1) + (-g) * jnp.sum(kb * dtb * r2[None, :], axis=1)
+        dt_u = jnp.sum(k * P_dt, axis=1) + (-gt) * jnp.sum(
+            kb * dtb * r2[None, :], axis=1
+        )
 
-        # DIV_x: (DIV,ID)=-g s; (DIV,LAP)=+g^2 s(2+d-gq); (DIV,DT)=-g^2 s dt;
-        #        (DIV,DIV)=g d - g^2 s^2.
         P_div = (
-            -g * s * r1[None, :]
-            + g * g * s * (2.0 + d - g * q) * r3[None, :]
-            - g * g * s * dt * r4[None, :]
-            + (g * d - g * g * s * s) * r5[None, :]
+            -gs * s * r1[None, :]
+            + gs * gs * s * (2.0 + d - gs * q) * r3[None, :]
+            - gs * gt * s * dt * r4[None, :]
+            + (gs * d - gs * gs * s * s) * r5[None, :]
         )
-        div_u = jnp.sum(k * P_div, axis=1) + (-g) * jnp.sum(
+        div_u = jnp.sum(k * P_div, axis=1) + (-gs) * jnp.sum(
             kb * sb * r2[None, :], axis=1
         )
 
-        # LAP_x: (LAP,ID)=lap; (LAP,LAP)=g^2(g^2 q^2 - gq(2d+4) + d(d+2));
-        #        (LAP,DT)=g dt lap; (LAP,DIV)=-g^2 s(2+d-gq).
         P_lap = (
             lap * r1[None, :]
-            + g * g * (g * g * q * q - g * q * (2.0 * d + 4.0) + d * (d + 2.0))
+            + gs * gs
+            * (gs * gs * q * q - gs * q * (2.0 * d + 4.0) + d * (d + 2.0))
             * r3[None, :]
-            + g * dt * lap * r4[None, :]
-            - g * g * s * (2.0 + d - g * q) * r5[None, :]
+            + gt * dt * lap * r4[None, :]
+            - gs * gs * s * (2.0 + d - gs * q) * r5[None, :]
         )
         qb = stb.q
-        lapb = g * g * qb - g * d
-        lap_u = jnp.sum(k * P_lap, axis=1) + jnp.sum(kb * lapb * r2[None, :], axis=1)
+        lapb = gs * gs * qb - gs * d
+        lap_u = jnp.sum(k * P_lap, axis=1) + jnp.sum(
+            kb * lapb * r2[None, :], axis=1
+        )
 
     return PosteriorOut(u=u, grad=grad, dt_u=dt_u, div_u=div_u, lap_u=lap_u)
 

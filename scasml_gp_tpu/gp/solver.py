@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from scasml_gp_tpu.config import GPConfig
 from scasml_gp_tpu.equations.base import Equation
 from scasml_gp_tpu.gp.gram import gram_matrix, regularized_factorization
-from scasml_gp_tpu.gp.kernels import kernel_gamma
+from scasml_gp_tpu.gp.kernels import kernel_gammas
 from scasml_gp_tpu.gp.posterior import posterior_eval, select_posterior_fn
 from scasml_gp_tpu.gp.state import GPState
 
@@ -148,7 +148,9 @@ class GP:
         self.n_input = equation.n_input
         self.n_output = equation.n_output
         self.d = equation.dim
-        self.gamma = kernel_gamma(equation.sigma(), self.d)
+        self.gamma = kernel_gammas(
+            equation.sigma(), self.d, self.config.time_scale
+        )  # (gs, gt); gt == gs at time_scale=1 (reference semantics)
         self.nugget = self.config.nugget
         self.form: GPForm = self.form_cls(equation) if self.form_cls else None
         self.state: Optional[GPState] = None

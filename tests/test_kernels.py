@@ -2,7 +2,9 @@
 
 This is the unit-level check the reference only carries in comments
 (models/GP.py:460-485): each analytic operator block must match the
-corresponding jax.grad nesting applied to the base RBF, per point pair.
+corresponding jax.grad nesting applied to the base RBF, per point pair —
+for both the isotropic (reference) kernel and the separable space/time
+generalization (gs != gt).
 """
 
 import jax
@@ -17,17 +19,27 @@ from scasml_gp_tpu.gp.kernels import (
     LAP,
     grad_coeffs,
     kernel_gamma,
+    kernel_gammas,
     op_block,
     pair_stats,
 )
 
 DIM = 4
-GAMMA = kernel_gamma(0.25, DIM)
+G_ISO = kernel_gamma(0.25, DIM)
+G_SEP = kernel_gammas(0.25, DIM, time_scale=0.3)
 OPS = [ID, LAP, DT, DIV]
+GAMMAS = [("iso", G_ISO), ("sep", G_SEP)]
 
 
-def kappa_scalar(x, y):
-    return jnp.exp(-0.5 * GAMMA * jnp.sum((x - y) ** 2))
+def make_kappa(gamma):
+    gs, gt = (gamma, gamma) if np.isscalar(gamma) else gamma
+
+    def kappa(x, y):
+        d_sp = x[:-1] - y[:-1]
+        d_t = x[-1] - y[-1]
+        return jnp.exp(-0.5 * (gs * jnp.sum(d_sp**2) + gt * d_t**2))
+
+    return kappa
 
 
 def apply_op(fun, op, argnum):
@@ -61,14 +73,15 @@ def points():
     return x, y
 
 
+@pytest.mark.parametrize("gname,gamma", GAMMAS)
 @pytest.mark.parametrize("a", OPS)
 @pytest.mark.parametrize("b", OPS)
-def test_op_block_matches_autodiff(points, a, b):
+def test_op_block_matches_autodiff(points, gname, gamma, a, b):
     x, y = points
-    st = pair_stats(x, y, GAMMA)
-    analytic = op_block(a, b, st, GAMMA, DIM)
+    st = pair_stats(x, y, gamma)
+    analytic = op_block(a, b, st, gamma, DIM)
 
-    fun = apply_op(apply_op(kappa_scalar, b, 1), a, 0)
+    fun = apply_op(apply_op(make_kappa(gamma), b, 1), a, 0)
     expected = jax.vmap(
         lambda xi: jax.vmap(lambda yj: fun(xi, yj))(y)
     )(x)
@@ -77,13 +90,14 @@ def test_op_block_matches_autodiff(points, a, b):
     )
 
 
+@pytest.mark.parametrize("gname,gamma", GAMMAS)
 @pytest.mark.parametrize("b", OPS)
-def test_grad_coeffs_match_autodiff(points, b):
+def test_grad_coeffs_match_autodiff(points, gname, gamma, b):
     x, y = points
-    st = pair_stats(x, y, GAMMA)
-    co = grad_coeffs(b, st, GAMMA, DIM)
+    st = pair_stats(x, y, gamma)
+    co = grad_coeffs(b, st, gamma, DIM)
 
-    fam = apply_op(kappa_scalar, b, 1)
+    fam = apply_op(make_kappa(gamma), b, 1)
     expected = jax.vmap(
         lambda xi: jax.vmap(lambda yj: jax.grad(fam, argnums=0)(xi, yj))(y)
     )(x)  # (n, m, DIM+1)
@@ -92,8 +106,8 @@ def test_grad_coeffs_match_autodiff(points, b):
     sp_mask = jnp.concatenate([jnp.ones(DIM), jnp.zeros(1)])
     e_t = jnp.concatenate([jnp.zeros(DIM), jnp.ones(1)])
     analytic = (
-        co.a[..., None] * delta
-        + co.b_sp[..., None] * delta * sp_mask
+        co.a_sp[..., None] * delta * sp_mask
+        + (co.a_t * st.dt)[..., None] * e_t
         + co.c[..., None] * sp_mask
         + co.e[..., None] * e_t
     )
@@ -104,7 +118,7 @@ def test_grad_coeffs_match_autodiff(points, b):
 
 def test_pair_stats_definitions(points):
     x, y = points
-    st = pair_stats(x, y, GAMMA)
+    st = pair_stats(x, y, G_ISO)
     delta = np.asarray(x)[:, None, :] - np.asarray(y)[None, :, :]
     np.testing.assert_allclose(
         np.asarray(st.dt), delta[..., -1], rtol=1e-5, atol=1e-6
@@ -117,7 +131,23 @@ def test_pair_stats_definitions(points):
     )
     np.testing.assert_allclose(
         np.asarray(st.kappa),
-        np.exp(-0.5 * GAMMA * (delta**2).sum(-1)),
+        np.exp(-0.5 * G_ISO * (delta**2).sum(-1)),
         rtol=1e-5,
         atol=1e-6,
     )
+
+
+def test_separable_reduces_to_isotropic(points):
+    x, y = points
+    st_iso = pair_stats(x, y, G_ISO)
+    st_sep = pair_stats(x, y, (G_ISO, G_ISO))
+    np.testing.assert_allclose(
+        np.asarray(st_iso.kappa), np.asarray(st_sep.kappa), rtol=1e-6
+    )
+    for a in OPS:
+        for b in OPS:
+            np.testing.assert_allclose(
+                np.asarray(op_block(a, b, st_iso, G_ISO, DIM)),
+                np.asarray(op_block(a, b, st_sep, (G_ISO, G_ISO), DIM)),
+                rtol=1e-6, atol=1e-7,
+            )
