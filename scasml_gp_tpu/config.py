@@ -53,6 +53,11 @@ class GPConfig:
     # kernel (models/GP.py:25) exactly; smaller values resolve the short
     # [0, T] time axis at large d (see gp/kernels.py).
     time_scale: float = 1.0
+    # Ridge precision multiplier: gr = ridge_scale * gs / d. 0.0 reproduces
+    # the reference's isotropic kernel; positive values resolve variation
+    # along the mean direction 1/sqrt(d), which the isotropic kernel loses
+    # to concentration of measure at large d (see gp/kernels.py docstring).
+    ridge_scale: float = 0.0
     gn_steps: int = 20              # reference models/GP.py:487 (GN_steps default)
     damping: float = 1e-4           # reference models/GP.py:491
     grad_tol: float = 1e-5          # reference models/GP.py:521 early stop

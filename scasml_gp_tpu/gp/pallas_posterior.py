@@ -60,6 +60,9 @@ def _kernel(
     j = pl.program_id(1)
     gs = g_ref[0, 0]
     gt = g_ref[0, 1]
+    gr = g_ref[0, 2]
+    G = gs + d * gr
+    beta = 2.0 * gs * gr + d * gr * gr
 
     y = y_ref[:]                                    # (TJ, Fp)
     x = x_ref[:]                                    # (TI, Fp)
@@ -79,15 +82,15 @@ def _kernel(
     dt = xt - yt                                    # x_t - y_t, (TJ, TI)
     s = xs - ys
     q = jnp.maximum(r2 - dt * dt, 0.0)
-    kappa = jnp.exp(-0.5 * (gs * q + gt * dt * dt))
-    lap = gs * gs * q - gs * d
+    kappa = jnp.exp(-0.5 * (gs * q + gr * s * s + gt * dt * dt))
+    lapf = gs * gs * q + beta * s * s - d * (gs + gr)
 
     r1 = r_ref[:, 0:1]
     r3 = r_ref[:, 1:2]
     r4 = r_ref[:, 2:3]
     r5 = r_ref[:, 3:4]
 
-    P_u = r1 + lap * r3 + gt * dt * r4 + gs * s * r5
+    P_u = r1 + lapf * r3 + gt * dt * r4 + G * s * r5
     kPu = kappa * P_u
 
     @pl.when(j == 0)
@@ -99,22 +102,27 @@ def _kernel(
     if want_ops:
         P_dt = (
             -gt * dt * r1
-            - gt * dt * lap * r3
+            - gt * dt * lapf * r3
             + gt * (1.0 - gt * dt * dt) * r4
-            - gs * gt * s * dt * r5
+            - G * gt * s * dt * r5
         )
         P_div = (
-            -gs * s * r1
-            + gs * gs * s * (2.0 + d - gs * q) * r3
-            - gs * gt * s * dt * r4
-            + (gs * d - gs * gs * s * s) * r5
+            -G * s * r1
+            + G * s * (2.0 * G - lapf) * r3
+            - G * gt * s * dt * r4
+            + G * (d - G * s * s) * r5
+        )
+        LL = (
+            2.0 * d * (gs * gs + beta)
+            - 4.0 * gs**3 * q
+            - 4.0 * s * s * (gs * gs * gr + beta * G)
+            + lapf * lapf
         )
         P_lap = (
-            lap * r1
-            + gs * gs
-            * (gs * gs * q * q - gs * q * (2.0 * d + 4.0) + d * (d + 2.0)) * r3
-            + gt * dt * lap * r4
-            - gs * gs * s * (2.0 + d - gs * q) * r5
+            lapf * r1
+            + LL * r3
+            + gt * dt * lapf * r4
+            - G * s * (2.0 * G - lapf) * r5
         )
         ops_ref[ROW_DT : ROW_DT + 1, :] += jnp.sum(kappa * P_dt, 0, keepdims=True)
         ops_ref[ROW_DIV : ROW_DIV + 1, :] += jnp.sum(kappa * P_div, 0, keepdims=True)
@@ -122,10 +130,14 @@ def _kernel(
 
     if want_grad:
         A_sp = -gs * kPu + 2.0 * gs * gs * kappa * r3   # delta_sp coefficient
+        B_s = -gr * kPu + 2.0 * beta * kappa * r3       # s * 1_sp coefficient
         A_t = -gt * kPu                                 # dt * e_t coefficient
         ops_ref[ROW_ASP : ROW_ASP + 1, :] += jnp.sum(A_sp, 0, keepdims=True)
         ops_ref[ROW_AT : ROW_AT + 1, :] += jnp.sum(A_t, 0, keepdims=True)
-        ops_ref[ROW_C : ROW_C + 1, :] += jnp.sum(gs * kappa * r5, 0, keepdims=True)
+        # b_s * s and the 1_sp coefficient collapse into one row scalar
+        ops_ref[ROW_C : ROW_C + 1, :] += jnp.sum(
+            G * kappa * r5 + B_s * s, 0, keepdims=True
+        )
         ops_ref[ROW_E : ROW_E + 1, :] += jnp.sum(gt * kappa * r4, 0, keepdims=True)
 
         @pl.when(j == 0)
@@ -182,8 +194,8 @@ def dom_posterior_tiles(
 
     grid = (n_pad // _TI, N_pad // _TJ)
     kernel = partial(_kernel, d=d, want_ops=want_ops, want_grad=want_grad)
-    gs, gt = split_gamma(gamma)
-    g_arr = jnp.stack([gs, gt]).reshape(1, 2)
+    gs, gt, gr = split_gamma(gamma)
+    g_arr = jnp.stack([gs, gt, gr, jnp.zeros_like(gs)]).reshape(1, 4)
     out_shapes = [jax.ShapeDtypeStruct((8, n_pad), jnp.float32)]
     out_specs = [
         pl.BlockSpec((8, _TI), lambda i, j: (0, i), memory_space=pltpu.VMEM)
@@ -200,7 +212,7 @@ def dom_posterior_tiles(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((_TI, fp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, _TI), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((_TJ, fp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
@@ -234,8 +246,10 @@ def _posterior_block_fused(
 
     Semantics identical to posterior._posterior_block (validated in
     tests/test_pallas.py)."""
-    gs, gt = split_gamma(gamma)
+    gs, gt, gr = split_gamma(gamma)
     d = dim
+    G = gs + d * gr
+    beta = 2.0 * gs * gr + d * gr * gr
     n_dom = x_dom.shape[0]
     n_bdy = x_bdy.shape[0]
     r1, r2, r3, r4, r5 = _split_r(r.astype(jnp.float32), n_dom, n_bdy)
@@ -256,15 +270,15 @@ def _posterior_block_fused(
     grad = None
     if want_grad:
         Ab_sp = -gs * kb * r2[None, :]
+        Bb_s = -gr * kb * r2[None, :]
         Ab_t = -gt * kb * r2[None, :]
         rs_sp = ops8[ROW_ASP] + jnp.sum(Ab_sp, axis=1)
         AY_sp = asy[:, :d] + jax.lax.dot_general(
             Ab_sp, x_bdy[:, :-1], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        grad_sp = (
-            x[:, :-1] * rs_sp[:, None] - AY_sp + ops8[ROW_C][:, None]
-        )
+        c_row = ops8[ROW_C] + jnp.sum(Bb_s * sb, axis=1)
+        grad_sp = x[:, :-1] * rs_sp[:, None] - AY_sp + c_row[:, None]
         rs_t = ops8[ROW_AT] + jnp.sum(Ab_t, axis=1)
         aty_full = aty[:, d] + Ab_t @ x_bdy[:, -1]
         grad_t = x[:, -1] * rs_t - aty_full + ops8[ROW_E]
@@ -272,10 +286,10 @@ def _posterior_block_fused(
 
     dt_u = div_u = lap_u = None
     if want_ops:
-        lapb = gs * gs * qb - gs * d
+        lapfb = gs * gs * qb + beta * sb * sb - d * (gs + gr)
         dt_u = ops8[ROW_DT] + (-gt) * jnp.sum(kb * dtb * r2[None, :], axis=1)
-        div_u = ops8[ROW_DIV] + (-gs) * jnp.sum(kb * sb * r2[None, :], axis=1)
-        lap_u = ops8[ROW_LAP] + jnp.sum(kb * lapb * r2[None, :], axis=1)
+        div_u = ops8[ROW_DIV] + (-G) * jnp.sum(kb * sb * r2[None, :], axis=1)
+        lap_u = ops8[ROW_LAP] + jnp.sum(kb * lapfb * r2[None, :], axis=1)
 
     return PosteriorOut(u=u, grad=grad, dt_u=dt_u, div_u=div_u, lap_u=lap_u)
 

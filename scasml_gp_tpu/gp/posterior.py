@@ -62,8 +62,10 @@ def _posterior_block(
     want_ops: bool,
 ) -> PosteriorOut:
     """Single-pass posterior for one block of evaluation points x (n, d+1)."""
-    gs, gt = split_gamma(gamma)
+    gs, gt, gr = split_gamma(gamma)
     d = dim
+    G = gs + d * gr
+    beta = 2.0 * gs * gr + d * gr * gr
     n_dom = x_dom.shape[0]
     n_bdy = x_bdy.shape[0]
     r1, r2, r3, r4, r5 = _split_r(r.astype(jnp.float32), n_dom, n_bdy)
@@ -73,27 +75,29 @@ def _posterior_block(
     stb = pair_stats(x, x_bdy, gamma)     # (n, Nb) statistics vs boundary set
     k, q, s, dt = st.kappa, st.q, st.s, st.dt
     kb, sb, dtb = stb.kappa, stb.s, stb.dt
-    lap = gs * gs * q - gs * d            # one-sided Laplacian factor
+    lapf = gs * gs * q + beta * s * s - d * (gs + gr)  # Lap_x kappa / kappa
 
-    # ---- posterior mean: u = sum_j kappa * (r1 + lap r3 + gt dt r4 + gs s r5)
+    # -- posterior mean: u = sum_j kappa * (r1 + lapf r3 + gt dt r4 + G s r5)
     P_u = (
-        r1[None, :] + lap * r3[None, :]
-        + gt * dt * r4[None, :] + gs * s * r5[None, :]
+        r1[None, :] + lapf * r3[None, :]
+        + gt * dt * r4[None, :] + G * s * r5[None, :]
     )
     u = jnp.sum(k * P_u, axis=1) + kb @ r2
 
     grad = None
     if want_grad:
-        # grad_x of each family in the basis {delta_sp, dt e_t, 1_sp, e_t}
-        # (kernels.grad_coeffs) with weights folded in.  Every family's
-        # delta_sp coefficient is (-gs) * its mean integrand plus the LAP
-        # family's 2 gs^2 term; every family's dt-coefficient is (-gt) *
-        # its mean integrand.
+        # grad_x of each family in the basis
+        # {delta_sp, s 1_sp, 1_sp, dt e_t, e_t} (kernels.grad_coeffs) with
+        # weights folded in.  Every family's coefficient along each gamma
+        # component is -(component) * its mean integrand, plus the LAP
+        # family's second-derivative extras (2 gs^2 / 2 beta).
         A_sp = -gs * k * P_u + 2.0 * gs * gs * k * r3[None, :]
+        B_s = -gr * k * P_u + 2.0 * beta * k * r3[None, :]
         A_t = -gt * k * P_u
-        C = gs * k * r5[None, :]
+        C = G * k * r5[None, :]
         E = gt * k * r4[None, :]
         Ab_sp = -gs * kb * r2[None, :]
+        Bb_s = -gr * kb * r2[None, :]
         Ab_t = -gt * kb * r2[None, :]
 
         rs_sp = jnp.sum(A_sp, axis=1) + jnp.sum(Ab_sp, axis=1)   # (n,)
@@ -104,10 +108,13 @@ def _posterior_block(
             Ab_sp, x_bdy[:, :-1], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        grad_sp = (
-            x[:, :-1] * rs_sp[:, None] - AY_sp
-            + (jnp.sum(C, axis=1))[:, None]
+        # b_s * s and c terms both collapse to per-row scalars on 1_sp
+        c_row = (
+            jnp.sum(C, axis=1)
+            + jnp.sum(B_s * s, axis=1)
+            + jnp.sum(Bb_s * sb, axis=1)
         )
+        grad_sp = x[:, :-1] * rs_sp[:, None] - AY_sp + c_row[:, None]
         rs_t = jnp.sum(A_t, axis=1) + jnp.sum(Ab_t, axis=1)
         aty = A_t @ x_dom[:, -1] + Ab_t @ x_bdy[:, -1]
         grad_t = x[:, -1] * rs_t - aty + jnp.sum(E, axis=1)
@@ -119,36 +126,40 @@ def _posterior_block(
         # kernels.op_block, weights folded into the polynomials).
         P_dt = (
             -gt * dt * r1[None, :]
-            - gt * dt * lap * r3[None, :]
+            - gt * dt * lapf * r3[None, :]
             + gt * (1.0 - gt * dt * dt) * r4[None, :]
-            - gs * gt * s * dt * r5[None, :]
+            - G * gt * s * dt * r5[None, :]
         )
         dt_u = jnp.sum(k * P_dt, axis=1) + (-gt) * jnp.sum(
             kb * dtb * r2[None, :], axis=1
         )
 
         P_div = (
-            -gs * s * r1[None, :]
-            + gs * gs * s * (2.0 + d - gs * q) * r3[None, :]
-            - gs * gt * s * dt * r4[None, :]
-            + (gs * d - gs * gs * s * s) * r5[None, :]
+            -G * s * r1[None, :]
+            + G * s * (2.0 * G - lapf) * r3[None, :]
+            - G * gt * s * dt * r4[None, :]
+            + G * (d - G * s * s) * r5[None, :]
         )
-        div_u = jnp.sum(k * P_div, axis=1) + (-gs) * jnp.sum(
+        div_u = jnp.sum(k * P_div, axis=1) + (-G) * jnp.sum(
             kb * sb * r2[None, :], axis=1
         )
 
+        LL = (
+            2.0 * d * (gs * gs + beta)
+            - 4.0 * gs**3 * q
+            - 4.0 * s * s * (gs * gs * gr + beta * G)
+            + lapf * lapf
+        )
         P_lap = (
-            lap * r1[None, :]
-            + gs * gs
-            * (gs * gs * q * q - gs * q * (2.0 * d + 4.0) + d * (d + 2.0))
-            * r3[None, :]
-            + gt * dt * lap * r4[None, :]
-            - gs * gs * s * (2.0 + d - gs * q) * r5[None, :]
+            lapf * r1[None, :]
+            + LL * r3[None, :]
+            + gt * dt * lapf * r4[None, :]
+            - G * s * (2.0 * G - lapf) * r5[None, :]
         )
         qb = stb.q
-        lapb = gs * gs * qb - gs * d
+        lapfb = gs * gs * qb + beta * sb * sb - d * (gs + gr)
         lap_u = jnp.sum(k * P_lap, axis=1) + jnp.sum(
-            kb * lapb * r2[None, :], axis=1
+            kb * lapfb * r2[None, :], axis=1
         )
 
     return PosteriorOut(u=u, grad=grad, dt_u=dt_u, div_u=div_u, lap_u=lap_u)

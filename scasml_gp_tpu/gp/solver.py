@@ -149,8 +149,9 @@ class GP:
         self.n_output = equation.n_output
         self.d = equation.dim
         self.gamma = kernel_gammas(
-            equation.sigma(), self.d, self.config.time_scale
-        )  # (gs, gt); gt == gs at time_scale=1 (reference semantics)
+            equation.sigma(), self.d, self.config.time_scale,
+            self.config.ridge_scale,
+        )  # (gs, gt, gr); defaults reproduce the reference kernel
         self.nugget = self.config.nugget
         self.form: GPForm = self.form_cls(equation) if self.form_cls else None
         self.state: Optional[GPState] = None

@@ -27,17 +27,29 @@ from scasml_gp_tpu.gp.kernels import (
 DIM = 4
 G_ISO = kernel_gamma(0.25, DIM)
 G_SEP = kernel_gammas(0.25, DIM, time_scale=0.3)
+G_RIDGE = kernel_gammas(0.25, DIM, time_scale=0.7, ridge_scale=8.0)
 OPS = [ID, LAP, DT, DIV]
-GAMMAS = [("iso", G_ISO), ("sep", G_SEP)]
+GAMMAS = [("iso", G_ISO), ("sep", G_SEP), ("ridge", G_RIDGE)]
 
 
 def make_kappa(gamma):
-    gs, gt = (gamma, gamma) if np.isscalar(gamma) else gamma
+    if np.isscalar(gamma):
+        gs = gt = gamma
+        gr = 0.0
+    elif len(gamma) == 2:
+        gs, gt = gamma
+        gr = 0.0
+    else:
+        gs, gt, gr = gamma
 
     def kappa(x, y):
         d_sp = x[:-1] - y[:-1]
         d_t = x[-1] - y[-1]
-        return jnp.exp(-0.5 * (gs * jnp.sum(d_sp**2) + gt * d_t**2))
+        return jnp.exp(
+            -0.5 * (gs * jnp.sum(d_sp**2)
+                    + gr * jnp.sum(d_sp) ** 2
+                    + gt * d_t**2)
+        )
 
     return kappa
 
@@ -107,6 +119,7 @@ def test_grad_coeffs_match_autodiff(points, gname, gamma, b):
     e_t = jnp.concatenate([jnp.zeros(DIM), jnp.ones(1)])
     analytic = (
         co.a_sp[..., None] * delta * sp_mask
+        + (co.b_s * st.s)[..., None] * sp_mask
         + (co.a_t * st.dt)[..., None] * e_t
         + co.c[..., None] * sp_mask
         + co.e[..., None] * e_t

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from scasml_gp_tpu.gp.kernels import kernel_gamma
+from scasml_gp_tpu.gp.kernels import kernel_gamma, kernel_gammas
 from scasml_gp_tpu.gp.pallas_posterior import posterior_eval_fused
 from scasml_gp_tpu.gp.posterior import posterior_eval
 
@@ -25,15 +25,19 @@ def problem():
     x_bdy = jax.random.uniform(k2, (N_BDY, D + 1), minval=-0.5, maxval=0.5)
     x = jax.random.uniform(k3, (N_EVAL, D + 1), minval=-0.5, maxval=0.5)
     r = jax.random.normal(k4, (4 * N_DOM + N_BDY,))
-    gamma = kernel_gamma(0.25, D)
-    return x, x_dom, x_bdy, r, gamma
+    return x, x_dom, x_bdy, r
 
 
+GAMMAS = [kernel_gamma(0.25, D),
+          kernel_gammas(0.25, D, time_scale=0.6, ridge_scale=5.0)]
+
+
+@pytest.mark.parametrize("gamma", GAMMAS)
 @pytest.mark.parametrize("want_grad,want_ops", [
     (False, False), (True, False), (False, True), (True, True),
 ])
-def test_fused_matches_xla(problem, want_grad, want_ops):
-    x, x_dom, x_bdy, r, gamma = problem
+def test_fused_matches_xla(problem, gamma, want_grad, want_ops):
+    x, x_dom, x_bdy, r = problem
     ref = posterior_eval(x, x_dom, x_bdy, r, gamma, D,
                          want_grad=want_grad, want_ops=want_ops)
     got = posterior_eval_fused(x, x_dom, x_bdy, r, gamma, D,
@@ -49,7 +53,8 @@ def test_fused_matches_xla(problem, want_grad, want_ops):
 
 def test_fused_large_padding(problem):
     """Shapes that are not tile multiples must pad/mask correctly."""
-    x, x_dom, x_bdy, r, gamma = problem
+    x, x_dom, x_bdy, r = problem
+    gamma = GAMMAS[1]
     # 300 eval points: crosses one TI=256 tile boundary
     xL = jnp.tile(x, (7, 1))[:300]
     ref = posterior_eval(xL, x_dom, x_bdy, r, gamma, D, want_grad=True,

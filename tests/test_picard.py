@@ -100,6 +100,39 @@ def test_full_history_linear_pde_matches_mc_oracle():
     assert np.all(np.abs(u - exact) < tol), np.abs(u - exact).max()
 
 
+class _ConstantForcingEq(_LinearEq):
+    """f == c: the l=0 interior term must integrate EXACTLY to c*(T-t)
+    (Gauss-Legendre weights for the quadrature variant, the uniform-time
+    importance weight (T-t)*mean for the full-history variant)."""
+
+    C = 0.37
+
+    def f(self, x_t, u, z):
+        return jnp.full_like(u, self.C)
+
+    def exact_solution(self, x_t):
+        dT = self.T - x_t[:, -1]
+        base = jnp.sum(x_t[:, :-1], axis=1) + self.mu() * self.dim * dT
+        return (base + self.C * dT)[:, None]
+
+
+def test_quadrature_weights_integrate_constant_forcing():
+    eq = _ConstantForcingEq(n_input=D + 1)
+    eq.norm_estimation = 100.0
+    x_t = jax.random.uniform(jax.random.PRNGKey(5), (48, D + 1),
+                             minval=-0.5, maxval=0.4)
+    exact = np.asarray(eq.exact_solution(x_t)).ravel()
+    dT = 0.5 - np.asarray(x_t[:, -1])
+    for solver, args, mc in [
+        (MLP(eq), (1, 2, x_t), None),           # MC_g = Mg[1,1] = 2
+        (MLPFullHistory(eq), (1, None, x_t, 4096), 4096),
+    ]:
+        u = np.asarray(solver.u_solve(*args)).ravel()
+        m = mc if mc else 2
+        tol = 5 * 0.5 * np.sqrt(D * dT / m) + 1e-3   # terminal-MC noise only
+        assert np.all(np.abs(u - exact) < tol), np.abs(u - exact).max()
+
+
 def test_terminal_time_is_deterministic():
     """At t = T every level reduces to u = g(x), z = 0 (zero-width interval)."""
     eq = GradDependentNonlinear(n_input=D + 1)

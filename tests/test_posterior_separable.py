@@ -22,12 +22,22 @@ def state():
     x_bdy = jax.random.uniform(k2, (N_BDY, D + 1), minval=-0.5, maxval=0.5)
     x = jax.random.uniform(k3, (9, D + 1), minval=-0.4, maxval=0.4)
     r = jax.random.normal(k4, (4 * N_DOM + N_BDY,))
-    gamma = jnp.asarray(kernel_gammas(0.25, D, time_scale=0.35), jnp.float32)
-    return x, x_dom, x_bdy, r, gamma
+    return x, x_dom, x_bdy, r
 
 
-def test_separable_grad_and_ops_match_autodiff(state):
-    x, x_dom, x_bdy, r, gamma = state
+GAMMAS = [
+    kernel_gammas(0.25, D, time_scale=0.35),
+    kernel_gammas(0.25, D, time_scale=0.7, ridge_scale=6.0),
+]
+
+
+import pytest
+
+
+@pytest.mark.parametrize("gamma", GAMMAS)
+def test_separable_grad_and_ops_match_autodiff(state, gamma):
+    x, x_dom, x_bdy, r = state
+    gamma = jnp.asarray(gamma, jnp.float32)
 
     def u_scalar(v):
         return posterior_eval(v[None, :], x_dom, x_bdy, r, gamma, D).u[0]
