@@ -64,7 +64,12 @@ def run(config: RunConfig, **test_kwargs):
     eq, gp, mlp, scasml = build_solvers(config)
     harness_cls = HARNESSES[config.harness]
     harness = harness_cls(eq, gp, mlp, scasml)
-    save_path = f"{config.save_path}/{config.equation}/{config.dim}d"
+    # variant-level directory mirrors the reference's results/ vs
+    # results_full_history/ split
+    save_path = (
+        f"{config.save_path}/{config.equation}/{config.dim}d/"
+        f"{config.picard.variant}"
+    )
     kwargs = dict(seed=config.seed)
     if config.harness in ("SimpleUniform", "RepeatedExperiment"):
         kwargs.update(
