@@ -65,7 +65,16 @@ def regularized_factorization(
     K = 0.5 * (K + K.T)
     eye = jnp.eye(K.shape[0], dtype=K.dtype)
     K_pert = K + nugget * eye
-    L = jnp.linalg.cholesky(K_pert)
+
+    # Jacobi equilibration: the derivative-feature blocks differ in scale by
+    # O(d^2) (LAP rows ~ d^2 gs^2 vs ID rows ~ 1), which pushes the fp32
+    # condition number past 1/eps at N ~ 1000.  Factor the equilibrated
+    # M = D^{-1/2} (K + nugget I) D^{-1/2} instead and undo the scaling:
+    # (K + nugget I)^{-1} = D^{-1/2} M^{-1} D^{-1/2}.
+    diag = jnp.maximum(jnp.diagonal(K), 1e-12)
+    scale = jax.lax.rsqrt(diag + nugget)
+    M = scale[:, None] * K_pert * scale[None, :]
+    L = jnp.linalg.cholesky(M)
     ok = jnp.all(jnp.isfinite(L))
 
     def chol_inv(_):
@@ -73,9 +82,12 @@ def regularized_factorization(
         return Linv.T @ Linv
 
     def eigh_inv(_):
-        S, U = jnp.linalg.eigh(K)
-        S_pert = jnp.maximum(S, 0.0) + nugget
+        # reference SVD pseudo-Cholesky semantics (models/GP.py:258-266),
+        # on the equilibrated matrix
+        S, U = jnp.linalg.eigh(M)
+        S_pert = jnp.maximum(S, 1e-7)
         return (U / S_pert[None, :]) @ U.T
 
-    C = jax.lax.cond(ok, chol_inv, eigh_inv, None)
+    Minv = jax.lax.cond(ok, chol_inv, eigh_inv, None)
+    C = scale[:, None] * Minv * scale[None, :]
     return K_pert, C
