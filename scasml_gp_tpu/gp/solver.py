@@ -258,10 +258,18 @@ class GP:
 
         sol0 = jax.random.normal(jax.random.PRNGKey(0), (3 * N,)) * init_scale
         sol0 = sol0.astype(jnp.float32)
-        loss_hist0 = jnp.zeros((steps + 1,), jnp.float32).at[0].set(loss_of(sol0))
+        loss0 = loss_of(sol0)
+        loss_hist0 = jnp.zeros((steps + 1,), jnp.float32).at[0].set(loss0)
+
+        # Backtracking candidates for the line search the reference carries
+        # only in comments (models/GP.py:540-570).  A full alpha=1 Newton step
+        # on this quartic diverges for some kernels (e.g. ridge-augmented at
+        # large N); evaluating all candidates at once is cheap (each loss is
+        # one O(phi^2) matvec) and keeps the loop monotone.
+        alphas = 0.5 ** jnp.arange(8, dtype=jnp.float32)
 
         def body(step, carry):
-            sol, hist, done, gnorm_last = carry
+            sol, hist, done, gnorm_last, damping_cur, J_now = carry
             b = b_of(sol)
             Cb = C @ b
             grad = grad_of(sol, Cb)
@@ -269,15 +277,30 @@ class GP:
             stop = done | (gnorm < grad_tol)
 
             H = hess_of(sol, Cb)
-            H = H + damping * jnp.eye(H.shape[0], dtype=H.dtype)
+            H = H + damping_cur * jnp.eye(H.shape[0], dtype=H.dtype)
             direction = jnp.linalg.solve(H, -grad)
-            new_sol = jnp.where(stop, sol, sol + direction)
-            new_loss = loss_of(new_sol)
-            hist = hist.at[step + 1].set(new_loss)
-            return new_sol, hist, stop, jnp.where(done, gnorm_last, gnorm)
 
-        sol, hist, _, gnorm = jax.lax.fori_loop(
-            0, steps, body, (sol0, loss_hist0, jnp.array(False), jnp.array(0.0))
+            cand = sol[None, :] + alphas[:, None] * direction[None, :]
+            losses = jax.vmap(loss_of)(cand)
+            best = jnp.argmin(losses)
+            improved = losses[best] < J_now
+            accept = improved & ~stop
+            new_sol = jnp.where(accept, cand[best], sol)
+            new_J = jnp.where(accept, losses[best], J_now)
+            # reference's commented damping policy (models/GP.py:579-584)
+            new_damp = jnp.where(
+                improved,
+                jnp.maximum(damping_cur * 0.1, damping),
+                jnp.minimum(damping_cur * 10.0, 1.0),
+            )
+            hist = hist.at[step + 1].set(new_J)
+            return (new_sol, hist, stop, jnp.where(done, gnorm_last, gnorm),
+                    new_damp, new_J)
+
+        sol, hist, _, gnorm, _, _ = jax.lax.fori_loop(
+            0, steps, body,
+            (sol0, loss_hist0, jnp.array(False), jnp.array(0.0),
+             jnp.asarray(damping, jnp.float32), loss0),
         )
 
         z = b_of(sol)
