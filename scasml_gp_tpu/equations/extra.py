@@ -26,6 +26,12 @@ class HJB(Equation):
         super().__init__(n_input, n_output)
         self.uncertainty = 5e-1
         self.norm_estimation = 10.0
+        # -|grad u|^2 is gradient-quadratic: the raw z estimator's variance
+        # enters the MEAN of f, so centered estimators are essential
+        self.center_z = True
+        self.time_sampling = "sqrt"
+        self.terminal_z = "corrected"
+        self.norm_estimation = 2.0
 
     def sigma(self, x_t=0):
         return math.sqrt(2.0)

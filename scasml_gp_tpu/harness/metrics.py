@@ -13,6 +13,19 @@ import numpy as np
 from scipy import stats
 
 
+def mc_reference_solution(equation, x_t, n: int = 3, M: int = 8, seed: int = 123):
+    """High-accuracy multilevel-Picard reference for PDEs without a closed
+    form (e.g. Allen-Cahn): a deep full-history run whose own error is far
+    below the solvers under test."""
+    import jax
+
+    from scasml_gp_tpu.picard.mlp import MLPFullHistory
+
+    solver = MLPFullHistory(equation, batch_chunk=256)
+    solver.key = jax.random.PRNGKey(seed)
+    return np.asarray(solver.u_solve(n, None, x_t, M=M), np.float64)
+
+
 def valid_mask(*solutions: np.ndarray) -> np.ndarray:
     """Mask of rows where every solution is finite
     (reference tests/SimpleUniform.py:109-113)."""

@@ -48,6 +48,34 @@ class PicardModel(NamedTuple):
     T: float
     dim: int
     clip: float      # output clip (norm_estimation / uncertainty)
+    center_z: bool = False  # centered (control-variate) z estimators
+    # Full-history interior-time sampling: 'uniform' (reference
+    # solvers/MLP_full_history.py:133-135) or 'sqrt' (importance density
+    # p(tau) ~ 1/(2 sqrt(tau)), i.e. tau = v^2 with v uniform). The
+    # uniform scheme's z weight 1/sqrt(tau) has INFINITE variance; 'sqrt'
+    # cancels the singularity (Hutzenthaler-Jentzen-Kruse-Nguyen style)
+    # and is required for gradient-quadratic generators like HJB.
+    time_sampling: str = "uniform"
+    # Terminal z denominator: 'reference' divides sum(g xi) by (T - t)
+    # (solvers/MLP.py:201-202), which inflates z by 1/sqrt(T-t) relative
+    # to the Stein identity E[g(X) xi] = sigma sqrt(T-t) E[grad g];
+    # 'corrected' divides by sqrt(T - t). The linear-in-z reference PDE
+    # is insensitive (the bias telescopes); gradient-quadratic ones are not.
+    terminal_z: str = "reference"
+
+
+def _z_accum(vals, weights, mf: int, centered: bool):
+    """Per-sample z contribution sum: sum_i vals_i * weights_i, optionally in
+    unbiased covariance form (centered control variate), normalized by the
+    effective sample count. vals: (B, mf); weights: (B, mf, dim)."""
+    prod = jnp.sum(vals[..., None] * weights, axis=1)          # (B, dim)
+    if centered and mf > 1:
+        corr = (
+            jnp.sum(vals, axis=1)[:, None]
+            * jnp.sum(weights, axis=1) / mf
+        )
+        return (prod - corr) / (mf - 1)
+    return prod / mf
 
 
 def _terminal_pass(model: PicardModel, params, x, t, key, mc: int):
@@ -59,6 +87,7 @@ def _terminal_pass(model: PicardModel, params, x, t, key, mc: int):
     dT = (model.T - t)[:, None]
     u_sum = jnp.zeros((B, 1), jnp.float32)
     z_sum = jnp.zeros((B, dim), jnp.float32)
+    xi_sum = jnp.zeros((B, dim), jnp.float32)
     done = 0
     while done < mc:
         cur = min(_TERMINAL_MC_CHUNK, mc - done)
@@ -75,9 +104,21 @@ def _terminal_pass(model: PicardModel, params, x, t, key, mc: int):
         gv = model.g(params, xt_T).reshape(B, cur)
         u_sum = u_sum + jnp.sum(gv, axis=1, keepdims=True)
         z_sum = z_sum + jnp.sum(gv[..., None] * xi, axis=1)
+        xi_sum = xi_sum + jnp.sum(xi, axis=1)
         done += cur
     u = u_sum / mc
-    z = z_sum / (mc * (dT + 1e-6))
+    if model.terminal_z == "corrected":
+        denom_t = jnp.sqrt(dT) + 1e-6
+    else:
+        denom_t = dT + 1e-6
+    if model.center_z and mc > 1:
+        # unbiased covariance form: (sum g xi - (sum g)(sum xi)/M) / (M-1)
+        # — a baseline control variate that removes the O(|g|) variance of
+        # the reference's raw estimator (solvers/MLP.py:202)
+        z_sum = z_sum - u_sum * xi_sum / mc
+        z = z_sum / ((mc - 1) * denom_t)
+    else:
+        z = z_sum / (mc * denom_t)
     return u, z
 
 
@@ -132,26 +173,24 @@ def build_quadrature_uz(
                 sim_l = uz(l, xt_k, jax.random.fold_in(kk, 1), params)
                 y = model.f(params, xt_k, sim_l[:, :1], sim_l[:, 1:]).reshape(B, mf)
                 u = u + w_k[:, None] * jnp.mean(y, axis=1, keepdims=True)
-                z = z + w_k[:, None] * jnp.sum(y[..., None] * W, axis=1) / (
-                    mf * denom
-                )
+                z = z + w_k[:, None] * _z_accum(y, W, mf, model.center_z) / denom
                 if l:
                     sim_lm1 = uz(l - 1, xt_k, jax.random.fold_in(kk, 2), params)
                     y2 = model.f(
                         params, xt_k, sim_lm1[:, :1], sim_lm1[:, 1:]
                     ).reshape(B, mf)
                     u = u - w_k[:, None] * jnp.mean(y2, axis=1, keepdims=True)
-                    z = z - w_k[:, None] * jnp.sum(y2[..., None] * W, axis=1) / (
-                        mf * denom
-                    )
+                    z = z - w_k[:, None] * _z_accum(
+                        y2, W, mf, model.center_z
+                    ) / denom
                 elif model.leaf is not None:
                     # GP PDE-residual injection at leaf level
                     # (reference solvers/ScaSML.py:274-280).
                     eps = model.leaf(params, xt_k).reshape(B, mf)
                     u = u + w_k[:, None] * jnp.mean(eps, axis=1, keepdims=True)
-                    z = z + w_k[:, None] * jnp.sum(eps[..., None] * W, axis=1) / (
-                        mf * denom
-                    )
+                    z = z + w_k[:, None] * _z_accum(
+                        eps, W, mf, model.center_z
+                    ) / denom
                 return (X, W, u, z), None
 
             (X0, W0, u, z), _ = jax.lax.scan(
@@ -194,7 +233,14 @@ def build_full_history_uz(
         for l in range(lvl):
             mf = int(M ** (lvl - l))
             key, ktau, kxi = jax.random.split(key, 3)
-            tau = jax.random.uniform(ktau, (B, mf), jnp.float32)
+            v = jax.random.uniform(ktau, (B, mf), jnp.float32)
+            if model.time_sampling == "sqrt":
+                # tau ~ p(tau) = 1/(2 sqrt(tau)); importance weight 2 sqrt(tau)
+                tau = v * v
+                wgt = (2.0 * v)[..., None]                   # (B, mf, 1)
+            else:
+                tau = v
+                wgt = jnp.ones((B, mf, 1), jnp.float32)
             ts = (tau * dT)[..., None]                       # (B, mf, 1)
             xi = jax.random.normal(kxi, (B, mf, dim), jnp.float32)
             X = x[:, None, :] + model.mu * ts + model.sigma * jnp.sqrt(ts) * xi
@@ -203,23 +249,25 @@ def build_full_history_uz(
             )
             inv_sqrt = 1.0 / jnp.sqrt(ts + 1e-6)             # (B, mf, 1)
 
+            eta = xi * inv_sqrt * wgt                        # (B, mf, dim)
+            wflat = wgt[..., 0]                              # (B, mf)
             key, k1 = jax.random.split(key)
             sim_l = uz(l, xt_k, k1, params)
             y = model.f(params, xt_k, sim_l[:, :1], sim_l[:, 1:]).reshape(B, mf)
-            u = u + dT * jnp.mean(y, axis=1, keepdims=True)
-            z = z + dT * jnp.mean(y[..., None] * xi * inv_sqrt, axis=1)
+            u = u + dT * jnp.mean(y * wflat, axis=1, keepdims=True)
+            z = z + dT * _z_accum(y, eta, mf, model.center_z)
             if l:
                 key, k2 = jax.random.split(key)
                 sim_lm1 = uz(l - 1, xt_k, k2, params)
                 y2 = model.f(
                     params, xt_k, sim_lm1[:, :1], sim_lm1[:, 1:]
                 ).reshape(B, mf)
-                u = u - dT * jnp.mean(y2, axis=1, keepdims=True)
-                z = z - dT * jnp.mean(y2[..., None] * xi * inv_sqrt, axis=1)
+                u = u - dT * jnp.mean(y2 * wflat, axis=1, keepdims=True)
+                z = z - dT * _z_accum(y2, eta, mf, model.center_z)
             elif model.leaf is not None:
                 eps = model.leaf(params, xt_k).reshape(B, mf)
-                u = u + dT * jnp.mean(eps, axis=1, keepdims=True)
-                z = z + dT * jnp.mean(eps[..., None] * xi * inv_sqrt, axis=1)
+                u = u + dT * jnp.mean(eps * wflat, axis=1, keepdims=True)
+                z = z + dT * _z_accum(eps, eta, mf, model.center_z)
 
         out = jnp.concatenate([u, z], axis=1)
         return jnp.clip(out, -model.clip, model.clip)

@@ -30,8 +30,21 @@ class _PicardBase:
     """Shared plumbing: jit cache keyed by (schedule, chunk shape), batch
     chunking, stateful RNG stream, evaluation counter."""
 
-    def __init__(self, equation: Equation, batch_chunk: Optional[int] = None):
+    def __init__(self, equation: Equation, batch_chunk: Optional[int] = None,
+                 center_z: Optional[bool] = None,
+                 time_sampling: Optional[str] = None):
         self.equation = equation
+        # centered (control-variate) z estimators; default comes from the
+        # equation (gradient-quadratic generators like HJB need them)
+        self.center_z = (
+            getattr(equation, 'center_z', False) if center_z is None
+            else center_z
+        )
+        self.time_sampling = (
+            getattr(equation, 'time_sampling', 'uniform')
+            if time_sampling is None else time_sampling
+        )
+        self.terminal_z = getattr(equation, 'terminal_z', 'reference')
         equation.geometry()
         self.T = equation.T
         self.t0 = equation.t0
@@ -58,6 +71,9 @@ class _PicardBase:
             T=self.T,
             dim=self.dim,
             clip=float(eq.norm_estimation),
+            center_z=self.center_z,
+            time_sampling=self.time_sampling,
+            terminal_z=self.terminal_z,
         )
 
     def _build(self, schedule_key: Tuple) -> Callable:

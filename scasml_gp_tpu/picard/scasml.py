@@ -38,8 +38,10 @@ from scasml_gp_tpu.picard.schedule import (
 
 
 class _ScaSMLBase(_PicardBase):
-    def __init__(self, equation, gp: GP, batch_chunk=None):
-        super().__init__(equation, batch_chunk=batch_chunk)
+    def __init__(self, equation, gp: GP, batch_chunk=None, center_z=None,
+                 time_sampling=None):
+        super().__init__(equation, batch_chunk=batch_chunk,
+                         center_z=center_z, time_sampling=time_sampling)
         self.GP = gp
         self.eval_chunk = gp.eval_chunk
 
@@ -91,6 +93,9 @@ class _ScaSMLBase(_PicardBase):
             T=self.T,
             dim=dim,
             clip=float(eq.uncertainty),  # reference ScaSML.py:282-284
+            center_z=self.center_z,
+            time_sampling=self.time_sampling,
+            terminal_z=self.terminal_z,
         )
 
     def _u_hat(self, x_t) -> jax.Array:

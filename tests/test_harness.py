@@ -122,5 +122,5 @@ def test_runner_end_to_end(tmp_path):
     assert out["metrics"]["SCaSML"]["rel_L2"] < 1.0
     assert os.path.exists(
         os.path.join(str(tmp_path), "GradDependentNonlinear", f"{D}d",
-                     "SimpleUniform", "metrics.json")
+                     "full_history", "SimpleUniform", "metrics.json")
     )
