@@ -101,6 +101,11 @@ def main(argv=None):
     parser.add_argument("--rho", type=int, default=2)
     parser.add_argument("--M", type=int, default=3)
     parser.add_argument("--batch-chunk", type=int, default=None)
+    parser.add_argument("--ridge-scale", type=float, default=0.0,
+                        help="ridge kernel precision multiplier (0 = reference kernel)")
+    parser.add_argument("--time-scale", type=float, default=1.0)
+    parser.add_argument("--tune", action="store_true",
+                        help="select (ridge_scale, time_scale) by held-out collocation validation before the run")
     args = parser.parse_args(argv)
 
     if args.config:
@@ -116,11 +121,30 @@ def main(argv=None):
         )
         config = dataclasses.replace(
             config,
+            gp=dataclasses.replace(
+                config.gp, ridge_scale=args.ridge_scale,
+                time_scale=args.time_scale,
+            ),
             picard=dataclasses.replace(
                 config.picard, variant=args.variant, rho=args.rho, M=args.M,
                 batch_chunk=args.batch_chunk,
             ),
         )
+        if args.tune:
+            from scasml_gp_tpu.equations import EQUATIONS
+            from scasml_gp_tpu.gp.tuning import tune_gp
+
+            eq = EQUATIONS[config.equation](n_input=config.n_input)
+            x_dom, x_bdy = eq.generate_data(
+                config.num_domain, config.num_boundary,
+                key=__import__("jax").random.PRNGKey(config.seed),
+            )
+            result = tune_gp(
+                GP_CLASSES[config.equation], eq, x_dom, x_bdy, base=config.gp,
+                ridge_scales=(0.0, 10.0, 30.0, 100.0),
+            )
+            print(f"tuned GP config: {result.config}", file=sys.stderr)
+            config = dataclasses.replace(config, gp=result.config)
     result = run(config)
     print("done:", config.harness, file=sys.stderr)
     return result
