@@ -42,11 +42,15 @@ def main():
 
     xt_dom, xt_bdy = eq.generate_test_data(1000, 200, key=jax.random.PRNGKey(42))
     x_test = jnp.concatenate([xt_dom, xt_bdy], axis=0)
+    err("test data ready")
     exact = np.asarray(eq.exact_solution(x_test)).ravel()
+    err("exact solution ready")
 
     solver = ScaSML(eq, gp)
     # Warm-up: compile the rollout once.
+    t0 = time.perf_counter()
     u = jax.block_until_ready(solver.u_solve(2, 2, x_test))
+    err(f"ScaSML warm-up (incl. compile): {time.perf_counter() - t0:.2f}s")
     rel = np.linalg.norm(np.asarray(u).ravel() - exact) / np.linalg.norm(exact)
     err(f"ScaSML quad d=20 rel_L2: {rel:.4f} (reference: 0.0701, GP alone 0.1466)")
 

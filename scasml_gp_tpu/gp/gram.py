@@ -74,20 +74,19 @@ def regularized_factorization(
     diag = jnp.maximum(jnp.diagonal(K), 1e-12)
     scale = jax.lax.rsqrt(diag + nugget)
     M = scale[:, None] * K_pert * scale[None, :]
+
+    # Jittered-Cholesky cascade: if fp32 round-off still makes the
+    # equilibrated (unit-diagonal) M indefinite, retry with growing extra
+    # jitter and keep the first finite factor.  (An in-graph eigh fallback
+    # would be exact-reference semantics but costs ~2 minutes of TPU compile
+    # for a 4200^2 operand; the cascade compiles in seconds and the jitter
+    # only engages when the plain factorization already failed.)
     L = jnp.linalg.cholesky(M)
-    ok = jnp.all(jnp.isfinite(L))
+    for jitter in (1e-3, 1e-1):
+        L_try = jnp.linalg.cholesky(M + jitter * eye)
+        L = jnp.where(jnp.all(jnp.isfinite(L)), L, L_try)
 
-    def chol_inv(_):
-        Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-        return Linv.T @ Linv
-
-    def eigh_inv(_):
-        # reference SVD pseudo-Cholesky semantics (models/GP.py:258-266),
-        # on the equilibrated matrix
-        S, U = jnp.linalg.eigh(M)
-        S_pert = jnp.maximum(S, 1e-7)
-        return (U / S_pert[None, :]) @ U.T
-
-    Minv = jax.lax.cond(ok, chol_inv, eigh_inv, None)
+    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    Minv = Linv.T @ Linv
     C = scale[:, None] * Minv * scale[None, :]
     return K_pert, C
