@@ -28,23 +28,29 @@ class SimpleUniform(HarnessBase):
         train_boundary: int = 200,
         seed: int = 1234,
         make_plots: bool = True,
+        profile_dir: str = None,
         **solve_kwargs,
     ):
         path = self._workdir(save_path)
         n = rhomax
+
+        from scasml_gp_tpu.utils.profiling import xla_trace
 
         x_dom, x_bdy = self._train_points(train_domain, train_boundary, seed)
         _, t_train = self._timed(self.solver1.GPsolver, x_dom, x_bdy)
 
         x_test, exact = self._test_points(num_domain, num_boundary, seed + 1)
 
-        sol1, time1 = self._timed(self.solver1.predict, x_test)
-        sol2, time2 = self._timed(
-            self.solver2.u_solve, n, rhomax, x_test, **solve_kwargs
-        )
-        sol3, time3 = self._timed(
-            self.solver3.u_solve, n, rhomax, x_test, **solve_kwargs
-        )
+        # optional perfetto/XLA trace of the three solve phases (replaces the
+        # reference's cProfile dump, tests/SimpleUniform.py:57-58,143-149)
+        with xla_trace(profile_dir):
+            sol1, time1 = self._timed(self.solver1.predict, x_test)
+            sol2, time2 = self._timed(
+                self.solver2.u_solve, n, rhomax, x_test, **solve_kwargs
+            )
+            sol3, time3 = self._timed(
+                self.solver3.u_solve, n, rhomax, x_test, **solve_kwargs
+            )
 
         summary = summarize(
             {"GP": sol1, "MLP": sol2, "SCaSML": sol3}, exact
