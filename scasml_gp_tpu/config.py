@@ -58,6 +58,10 @@ class GPConfig:
     # along the mean direction 1/sqrt(d), which the isotropic kernel loses
     # to concentration of measure at large d (see gp/kernels.py docstring).
     ridge_scale: float = 0.0
+    # Overall precision multiplier applied to (gs, gt, gr) — i.e. an inverse
+    # squared length-scale knob on top of the reference's sigma*sqrt(d) rule.
+    # 1.0 reproduces the reference; fitted by gp/marginal.py.
+    gamma_scale: float = 1.0
     gn_steps: int = 20              # reference models/GP.py:487 (GN_steps default)
     damping: float = 1e-4           # reference models/GP.py:491
     grad_tol: float = 1e-5          # reference models/GP.py:521 early stop

@@ -10,7 +10,15 @@ from scasml_gp_tpu.gp.kernels import (
     op_block,
     pair_stats,
 )
-from scasml_gp_tpu.gp.gram import gram_matrix, regularized_factorization
+from scasml_gp_tpu.gp.gram import (
+    gram_matrix,
+    logdet_quad,
+    regularized_factorization,
+)
+from scasml_gp_tpu.gp.marginal import (
+    MarginalFitResult,
+    fit_gp_marginal_likelihood,
+)
 from scasml_gp_tpu.gp.posterior import PosteriorOut, posterior_eval
 from scasml_gp_tpu.gp.solver import (
     GP,
@@ -34,7 +42,10 @@ __all__ = [
     "op_block",
     "pair_stats",
     "gram_matrix",
+    "logdet_quad",
     "regularized_factorization",
+    "MarginalFitResult",
+    "fit_gp_marginal_likelihood",
     "PosteriorOut",
     "posterior_eval",
     "GP",

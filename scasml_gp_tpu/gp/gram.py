@@ -90,3 +90,40 @@ def regularized_factorization(
     Minv = Linv.T @ Linv
     C = scale[:, None] * Minv * scale[None, :]
     return K_pert, C
+
+
+@jax.jit
+def logdet_quad(K: jax.Array, nugget: jax.Array, b: jax.Array):
+    """(log det(K + nugget I),  b^T (K + nugget I)^{-1} b), differentiable.
+
+    Used by the marginal-likelihood hyperparameter fit (gp/marginal.py):
+    gradients flow through the Jacobi equilibration, the Cholesky and the
+    triangular solve (all have JAX-defined VJPs).  Uses the same
+    equilibration as :func:`regularized_factorization`:
+    with M = D^{-1/2} (K + nugget I) D^{-1/2},
+        logdet(K + nugget I) = sum log d_i + 2 sum log diag chol(M)
+        b^T (K+nugget I)^{-1} b = || chol(M)^{-1} D^{-1/2} b ||^2 .
+    A small extra jitter keeps chol finite at hyperparameters that make
+    fp32 M indefinite (the optimizer then sees a large-but-finite NLML
+    instead of NaN and walks back out).
+    """
+    K = 0.5 * (K + K.T)
+    n = K.shape[0]
+    eye = jnp.eye(n, dtype=K.dtype)
+    diag = jnp.maximum(jnp.diagonal(K), 1e-12) + nugget
+    scale = jax.lax.rsqrt(diag)
+    M = scale[:, None] * (K + nugget * eye) * scale[None, :]
+
+    # Probe factorization (no gradients) decides whether jitter is needed;
+    # the differentiated Cholesky then only ever sees a finite operand, so
+    # no NaN cotangents leak through the failed branch.
+    probe = jnp.linalg.cholesky(jax.lax.stop_gradient(M))
+    ok = jnp.all(jnp.isfinite(probe))
+    L = jnp.linalg.cholesky(M + jnp.where(ok, 0.0, 1e-3) * eye)
+
+    logdet = jnp.sum(jnp.log(diag)) + 2.0 * jnp.sum(
+        jnp.log(jnp.maximum(jnp.diagonal(L), 1e-30))
+    )
+    w = jax.scipy.linalg.solve_triangular(L, scale * b, lower=True)
+    quad = jnp.sum(w * w)
+    return logdet, quad

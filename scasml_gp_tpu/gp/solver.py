@@ -148,10 +148,12 @@ class GP:
         self.n_input = equation.n_input
         self.n_output = equation.n_output
         self.d = equation.dim
-        self.gamma = kernel_gammas(
+        gs, gt, gr = kernel_gammas(
             equation.sigma(), self.d, self.config.time_scale,
             self.config.ridge_scale,
-        )  # (gs, gt, gr); defaults reproduce the reference kernel
+        )  # defaults reproduce the reference kernel
+        c = self.config.gamma_scale
+        self.gamma = (gs * c, gt * c, gr * c)
         self.nugget = self.config.nugget
         self.form: GPForm = self.form_cls(equation) if self.form_cls else None
         self.state: Optional[GPState] = None
@@ -175,6 +177,8 @@ class GP:
 
         out = self._train_jit(
             x_dom, x_bdy, bdy_g, rhs,
+            jnp.asarray(self.gamma, jnp.float32),
+            jnp.float32(self.nugget),
             steps=steps,
             damping=cfg.damping,
             grad_tol=cfg.grad_tol,
@@ -193,15 +197,19 @@ class GP:
 
     @partial(jax.jit, static_argnames=("self", "steps"))
     def _train_jit(
-        self, x_dom, x_bdy, bdy_g, rhs, steps, damping, grad_tol, init_scale
+        self, x_dom, x_bdy, bdy_g, rhs, gamma, nugget,
+        steps, damping, grad_tol, init_scale,
     ) -> _TrainOut:
+        """One compiled graph for the whole Newton train.  ``gamma`` and
+        ``nugget`` are TRACED (not baked in), so hyperparameter search —
+        grid (gp/tuning.py) or marginal-likelihood descent (gp/marginal.py)
+        — reuses this program across candidates and can ``vmap`` it."""
         N = x_dom.shape[0]
         Nb = x_bdy.shape[0]
         d = self.d
-        gamma = jnp.asarray(self.gamma, jnp.float32)
 
         K = gram_matrix(x_dom, x_bdy, gamma, d)
-        _, C = regularized_factorization(K, self.nugget)
+        _, C = regularized_factorization(K, nugget)
 
         # Row sets of b = [z1 (R1), bdy (R2), z3 (R3), F (R4), z5 (R5)].
         i1, i2, i3, i4 = N, N + Nb, 2 * N + Nb, 3 * N + Nb

@@ -106,9 +106,16 @@ def main(argv=None):
     parser.add_argument("--time-scale", type=float, default=1.0)
     parser.add_argument("--tune", action="store_true",
                         help="select (ridge_scale, time_scale) by held-out collocation validation before the run")
+    parser.add_argument("--fit-ml", action="store_true",
+                        help="fit (gamma_scale, time_scale, ridge_scale, nugget) "
+                             "by batched marginal-likelihood descent on-device "
+                             "(gp/marginal.py) before the run")
     args = parser.parse_args(argv)
 
     if args.config:
+        if args.tune or args.fit_ml:
+            parser.error("--tune/--fit-ml are CLI-path options; with "
+                         "--config, set the GP hyperparameters in the JSON")
         with open(args.config) as fh:
             config = RunConfig.from_json(fh.read())
     else:
@@ -130,20 +137,32 @@ def main(argv=None):
                 batch_chunk=args.batch_chunk,
             ),
         )
-        if args.tune:
-            from scasml_gp_tpu.equations import EQUATIONS
-            from scasml_gp_tpu.gp.tuning import tune_gp
+        if args.tune or args.fit_ml:
+            import jax
 
             eq = EQUATIONS[config.equation](n_input=config.n_input)
             x_dom, x_bdy = eq.generate_data(
                 config.num_domain, config.num_boundary,
-                key=__import__("jax").random.PRNGKey(config.seed),
+                key=jax.random.PRNGKey(config.seed),
             )
-            result = tune_gp(
-                GP_CLASSES[config.equation], eq, x_dom, x_bdy, base=config.gp,
-                ridge_scales=(0.0, 10.0, 30.0, 100.0),
-            )
-            print(f"tuned GP config: {result.config}", file=sys.stderr)
+            if args.fit_ml:
+                from scasml_gp_tpu.gp.marginal import fit_gp_marginal_likelihood
+
+                result = fit_gp_marginal_likelihood(
+                    GP_CLASSES[config.equation], eq, x_dom, x_bdy,
+                    base=config.gp,
+                )
+                print(f"ML-fitted GP config: {result.config} "
+                      f"(NLML {result.nlml:.1f})", file=sys.stderr)
+            else:
+                from scasml_gp_tpu.gp.tuning import tune_gp
+
+                result = tune_gp(
+                    GP_CLASSES[config.equation], eq, x_dom, x_bdy,
+                    base=config.gp,
+                    ridge_scales=(0.0, 10.0, 30.0, 100.0),
+                )
+                print(f"tuned GP config: {result.config}", file=sys.stderr)
             config = dataclasses.replace(config, gp=result.config)
     result = run(config)
     print("done:", config.harness, file=sys.stderr)

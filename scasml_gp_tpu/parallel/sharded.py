@@ -70,6 +70,8 @@ def make_sharded_train_and_solve(
         rhs = gp.form.rhs_f(x_dom).astype(jnp.float32)
         out = gp._train_jit(
             x_dom, x_bdy, bdy_g, rhs,
+            jnp.asarray(gp.gamma, jnp.float32),
+            jnp.float32(gp.nugget),
             steps=gn_steps,
             damping=cfg.damping,
             grad_tol=cfg.grad_tol,

@@ -1,0 +1,115 @@
+"""Full experiment campaign: every dimension x solver variant, one command.
+
+TPU-native replacement for the reference's top-level ``run_all.sh``
+(/root/reference/run_all.sh:1-31), which launches the eight
+``results*/Grad_Dependent_Nonlinear/{20,40,60,80}d/experiment_run.py``
+drivers in four 2-process groups.  Here each configuration is one
+:func:`scasml_gp_tpu.harness.runner.run` call; runs execute sequentially in a
+single process because (a) one process keeps the XLA compile cache warm
+across dimensions and (b) this environment's TPU relay supports one client
+at a time (see CLAUDE.md).
+
+Usage:
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/run_all.py \
+        --save-path results --harness RepeatedExperiment [--dims 20 40] \
+        [--variants quadrature full_history] [--tuned]
+
+``--tuned`` additionally applies the validation-selected ridge kernel per
+dimension (gp.tuning.tune_gp), which beats the reference at d >= 40; without
+it all hyperparameters are reference-parity.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+import traceback
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--dims", type=int, nargs="+",
+                        default=[20, 40, 60, 80])
+    parser.add_argument("--variants", nargs="+",
+                        default=["quadrature", "full_history"],
+                        choices=["quadrature", "full_history"])
+    parser.add_argument("--harness", default="RepeatedExperiment")
+    parser.add_argument("--save-path", default="results")
+    parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--tuned", action="store_true",
+                        help="per-dimension validation-tuned ridge kernel")
+    args = parser.parse_args(argv)
+
+    from scasml_gp_tpu.config import RunConfig
+    from scasml_gp_tpu.equations import EQUATIONS
+    from scasml_gp_tpu.gp.tuning import tune_gp
+    from scasml_gp_tpu.harness.runner import GP_CLASSES, run
+
+    campaign = [(d, v) for d in args.dims for v in args.variants]
+    summary = {}
+    for i, (dim, variant) in enumerate(campaign):
+        tag = f"{dim}d/{variant}"
+        print(f"[{i + 1}/{len(campaign)}] {tag}", file=sys.stderr, flush=True)
+        config = RunConfig(dim=dim, harness=args.harness,
+                           save_path=args.save_path, seed=args.seed)
+        config = dataclasses.replace(
+            config, picard=dataclasses.replace(config.picard, variant=variant)
+        )
+        if args.tuned:
+            import jax
+
+            eq = EQUATIONS[config.equation](n_input=config.n_input)
+            x_dom, x_bdy = eq.generate_data(
+                config.num_domain, config.num_boundary,
+                key=jax.random.PRNGKey(config.seed),
+            )
+            tuned = tune_gp(GP_CLASSES[config.equation], eq, x_dom, x_bdy,
+                            base=config.gp)
+            print(f"  tuned: {tuned.config}", file=sys.stderr, flush=True)
+            config = dataclasses.replace(config, gp=tuned.config)
+        t0 = time.perf_counter()
+        try:
+            result = run(config)
+            summary[tag] = {
+                "wall_s": round(time.perf_counter() - t0, 2),
+                "metrics": _headline(result),
+            }
+        except Exception as e:  # keep the campaign going past one bad run
+            traceback.print_exc()
+            summary[tag] = {"error": f"{type(e).__name__}: {e}"}
+        print(f"  -> {summary[tag]}", file=sys.stderr, flush=True)
+
+    out = f"{args.save_path}/run_all_summary.json"
+    with open(out, "w") as fh:
+        json.dump(summary, fh, indent=2)
+    print(json.dumps(summary, indent=2))
+    print(f"written: {out}", file=sys.stderr)
+
+
+def _headline(result):
+    """Pull the solver-level rel-L2 headline out of a harness result dict."""
+    if not isinstance(result, dict):
+        return result
+    metrics = result.get("metrics", result)
+    out = {}
+    if isinstance(metrics, dict):
+        # RepeatedExperiment: {metric: {solver: {mean, ...}}}
+        rel = metrics.get("rel_L2")
+        if isinstance(rel, dict):
+            for solver, st in rel.items():
+                out[solver] = st.get("mean", st) if isinstance(st, dict) else st
+        else:
+            # SimpleUniform: {solver: {metric: value}}
+            for solver, vals in metrics.items():
+                if isinstance(vals, dict) and "rel_L2" in vals:
+                    out[solver] = vals["rel_L2"]
+    if out:
+        return {"rel_L2": out}
+    return {k: result[k] for k in list(result)[:4] if not k.startswith("raw")}
+
+
+if __name__ == "__main__":
+    main()
