@@ -50,6 +50,7 @@ def tune_gp(
     base: Optional[GPConfig] = None,
     time_scales: Sequence[float] = (1.0,),
     ridge_scales: Sequence[float] = (0.0, 3.0, 10.0, 30.0),
+    gamma_scales: Sequence[float] = (1.0,),
     nuggets: Optional[Sequence[float]] = None,
     val_fraction: float = 0.2,
     gn_steps: Optional[int] = None,
@@ -60,7 +61,15 @@ def tune_gp(
 
     Returns the winning GPConfig; the returned ``gp_cls(equation, config)``
     trained on all of (x_dom, x_bdy) is what callers should use.
+
+    All candidates share ONE compiled train+score program (kernel gammas and
+    nugget are traced arguments of ``GP._train_jit``), so a grid point costs
+    an execution, not a ~40 s retrace — the same device-tunnel economics as
+    gp/marginal.py, and the reason candidates run sequentially rather than
+    vmapped (the batched Newton train faults the TPU runtime; see there).
     """
+    from scasml_gp_tpu.gp.posterior import posterior_eval
+
     base = base or GPConfig()
     nuggets = nuggets or (base.nugget,)
     x_dom = jnp.asarray(x_dom, jnp.float32)
@@ -76,15 +85,40 @@ def tune_gp(
     tr_dom, val_dom = x_dom[perm_d[n_vd:]], x_dom[perm_d[:n_vd]]
     tr_bdy, val_bdy = x_bdy[perm_b[n_vb:]], x_bdy[perm_b[:n_vb]]
 
+    gp = gp_cls(equation, base)
+    steps = base.gn_steps if gn_steps is None else int(gn_steps)
+    bg_tr = equation.g(tr_bdy)[:, 0].astype(jnp.float32)
+    rhs_tr = gp.form.rhs_f(tr_dom).astype(jnp.float32)
+    g_val = equation.g(val_bdy)[:, 0].astype(jnp.float32)
+    dim = equation.dim
+
+    @jax.jit
+    def score_one(gamma, nugget):
+        out = gp._train_jit(
+            tr_dom, tr_bdy, bg_tr, rhs_tr, gamma, nugget,
+            steps=steps, damping=base.damping, grad_tol=base.grad_tol,
+            init_scale=base.init_scale,
+        )
+        po = posterior_eval(
+            val_dom, tr_dom, tr_bdy, out.right_vector, gamma, dim,
+            want_ops=True,
+        )
+        eps = gp.form.residual(val_dom, po.u, po.dt_u, po.div_u, po.lap_u)
+        ub = posterior_eval(
+            val_bdy, tr_dom, tr_bdy, out.right_vector, gamma, dim
+        ).u
+        return jnp.mean(eps**2) + jnp.mean((ub - g_val) ** 2)
+
     table = []
     best = None
-    for ts, rs, ng in itertools.product(time_scales, ridge_scales, nuggets):
+    for ts, rs, gsc, ng in itertools.product(
+        time_scales, ridge_scales, gamma_scales, nuggets
+    ):
         config = dataclasses.replace(
-            base, time_scale=ts, ridge_scale=rs, nugget=ng
+            base, time_scale=ts, ridge_scale=rs, gamma_scale=gsc, nugget=ng
         )
-        gp = gp_cls(equation, config)
-        gp.GPsolver(tr_dom, tr_bdy, GN_steps=gn_steps)
-        score = validation_score(gp, val_dom, val_bdy)
+        gamma = jnp.asarray(gp_cls(equation, config).gamma, jnp.float32)
+        score = float(score_one(gamma, jnp.float32(ng)))
         table.append((config, score))
         if best is None or score < best[1]:
             best = (config, score)

@@ -41,6 +41,9 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=1234)
     parser.add_argument("--tuned", action="store_true",
                         help="per-dimension validation-tuned ridge kernel")
+    parser.add_argument("--fit-ml", action="store_true",
+                        help="per-dimension marginal-likelihood (MAP) fit of "
+                             "the kernel hyperparameters (gp/marginal.py)")
     args = parser.parse_args(argv)
 
     from scasml_gp_tpu.config import RunConfig
@@ -58,7 +61,7 @@ def main(argv=None):
         config = dataclasses.replace(
             config, picard=dataclasses.replace(config.picard, variant=variant)
         )
-        if args.tuned:
+        if args.tuned or args.fit_ml:
             import jax
 
             eq = EQUATIONS[config.equation](n_input=config.n_input)
@@ -66,8 +69,25 @@ def main(argv=None):
                 config.num_domain, config.num_boundary,
                 key=jax.random.PRNGKey(config.seed),
             )
-            tuned = tune_gp(GP_CLASSES[config.equation], eq, x_dom, x_bdy,
-                            base=config.gp)
+            if args.fit_ml:
+                from scasml_gp_tpu.gp.marginal import (
+                    fit_gp_marginal_likelihood,
+                )
+
+                tuned = fit_gp_marginal_likelihood(
+                    GP_CLASSES[config.equation], eq, x_dom, x_bdy,
+                    base=config.gp,
+                )
+            else:
+                # ridge resolves the high-d mean direction; gamma_scale
+                # (overall length-scale) is the big lever at low d — the
+                # compile-shared tuner makes the 16-point grid cheap
+                tuned = tune_gp(
+                    GP_CLASSES[config.equation], eq, x_dom, x_bdy,
+                    base=config.gp,
+                    ridge_scales=(0.0, 10.0, 30.0, 100.0),
+                    gamma_scales=(1.0, 0.3, 0.1, 0.05),
+                )
             print(f"  tuned: {tuned.config}", file=sys.stderr, flush=True)
             config = dataclasses.replace(config, gp=tuned.config)
         t0 = time.perf_counter()
