@@ -54,8 +54,8 @@ def _round_up(a, b):
 
 
 def _kernel(
-    g_ref, x_ref, xs_ref, y_ref, r_ref, ops_ref, asy_ref, aty_ref,
-    *, d: int, want_ops: bool, want_grad: bool,
+    g_ref, x_ref, xs_ref, y_ref, r_ref, ops_ref, *grad_refs,
+    d: int, want_ops: bool, want_grad: bool,
 ):
     j = pl.program_id(1)
     gs = g_ref[0, 0]
@@ -129,6 +129,7 @@ def _kernel(
         ops_ref[ROW_LAP : ROW_LAP + 1, :] += jnp.sum(kappa * P_lap, 0, keepdims=True)
 
     if want_grad:
+        asy_ref, aty_ref = grad_refs
         A_sp = -gs * kPu + 2.0 * gs * gs * kappa * r3   # delta_sp coefficient
         B_s = -gr * kPu + 2.0 * beta * kappa * r3       # s * 1_sp coefficient
         A_t = -gt * kPu                                 # dt * e_t coefficient
@@ -177,8 +178,17 @@ def dom_posterior_tiles(
     n, f = x.shape
     N = y.shape[0]
     fp = _round_up(f, 128)
-    n_pad = _round_up(max(n, 8), _TI)
-    N_pad = _round_up(max(N, 8), _TJ)
+    # Adaptive tiles.  When one j-tile covers every training point the y/r
+    # block index is constant over the whole grid, so Pallas DMAs them into
+    # VMEM exactly once; with the j-axis inner this is the speed-of-light
+    # traffic layout (x streamed once, y resident).  Cap TJ so VMEM holds
+    # double-buffered y+r tiles comfortably.
+    # (tj*ti is capped by the ~16 MB scoped-VMEM budget: the kernel keeps
+    # ~16 (tj, ti) f32 elementwise temporaries live, so 1024x256 ~= 10 MB.)
+    tj = min(_round_up(max(N, 8), 256), 1024)
+    N_pad = _round_up(max(N, 8), tj)
+    ti = _TI
+    n_pad = _round_up(max(n, 8), ti)
 
     xp = jnp.zeros((n_pad, fp), jnp.float32).at[:n, :f].set(x.astype(jnp.float32))
     yp = jnp.zeros((N_pad, fp), jnp.float32).at[:N, :f].set(y.astype(jnp.float32))
@@ -192,45 +202,47 @@ def dom_posterior_tiles(
     xs_stats = xs_stats.at[1].set(jnp.sum(xp, axis=1) - xt_col)
     xs_stats = xs_stats.at[2].set(xt_col)
 
-    grid = (n_pad // _TI, N_pad // _TJ)
+    grid = (n_pad // ti, N_pad // tj)
     kernel = partial(_kernel, d=d, want_ops=want_ops, want_grad=want_grad)
     gs, gt, gr = split_gamma(gamma)
     g_arr = jnp.stack([gs, gt, gr, jnp.zeros_like(gs)]).reshape(1, 4)
     out_shapes = [jax.ShapeDtypeStruct((8, n_pad), jnp.float32)]
     out_specs = [
-        pl.BlockSpec((8, _TI), lambda i, j: (0, i), memory_space=pltpu.VMEM)
+        pl.BlockSpec((8, ti), lambda i, j: (0, i), memory_space=pltpu.VMEM)
     ]
-    # ASY/ATY are always declared (simplifies the kernel signature); when
-    # want_grad is False they are written by no one and XLA drops them.
-    out_shapes += [jax.ShapeDtypeStruct((n_pad, fp), jnp.float32)] * 2
-    out_specs += [
-        pl.BlockSpec((_TI, fp), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
-    ] * 2
+    if want_grad:
+        # Gradient matmul accumulators exist ONLY when asked for — an output
+        # block is DMA'd to HBM every grid step whether or not the kernel
+        # wrote it, which at large n is pure wasted bandwidth.
+        out_shapes += [jax.ShapeDtypeStruct((n_pad, fp), jnp.float32)] * 2
+        out_specs += [
+            pl.BlockSpec((ti, fp), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+        ] * 2
 
-    flops_tile = 2 * _TI * _TJ * fp * (3 if want_grad else 1)
-    ops8, asy, aty = pl.pallas_call(
+    flops_tile = 2 * ti * tj * fp * (3 if want_grad else 1)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 4), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((_TI, fp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, _TI), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TJ, fp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TJ, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ti, fp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, ti), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tj, fp), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tj, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=out_shapes,
         out_specs=out_specs,
         cost_estimate=pl.CostEstimate(
             flops=grid[0] * grid[1] * flops_tile,
             bytes_accessed=(n_pad * fp + N_pad * fp) * 4 * grid[1],
-            transcendentals=grid[0] * grid[1] * _TI * _TJ,
+            transcendentals=grid[0] * grid[1] * ti * tj,
         ),
         interpret=interpret,
     )(g_arr, xp, xs_stats, yp, rp)
 
-    ops8 = ops8[:, :n]
+    ops8 = outs[0][:, :n]
     if want_grad:
-        return ops8, asy[:n], aty[:n]
+        return ops8, outs[1][:n], outs[2][:n]
     return ops8, None, None
 
 

@@ -169,9 +169,10 @@ def select_posterior_fn(backend: str, dim: int):
     """Pick the posterior implementation.
 
     'xla' -> :func:`posterior_eval`; 'pallas' -> the hand-tiled VMEM kernel
-    (:mod:`scasml_gp_tpu.gp.pallas_posterior`); 'auto' -> pallas on TPU for
-    d+1 >= 64 (where it measures faster; see bench notes in that module),
-    else XLA.
+    (:mod:`scasml_gp_tpu.gp.pallas_posterior`); 'auto' -> on TPU, dispatch
+    per call: pallas for d+1 >= 64 OR eval batches > 8192 points (measured
+    crossovers, scripts/pallas_bench.py — the XLA chunked path degrades
+    badly at very large n), else XLA.
     """
     if backend == "xla":
         return posterior_eval
@@ -180,9 +181,18 @@ def select_posterior_fn(backend: str, dim: int):
     if backend == "pallas":
         return posterior_eval_fused
     if backend == "auto":
-        if jax.default_backend() != "cpu" and dim + 1 >= 64:
-            return posterior_eval_fused
-        return posterior_eval
+        if jax.default_backend() == "cpu":
+            return posterior_eval
+
+        def _auto(x, *args, **kw):
+            fn = (
+                posterior_eval_fused
+                if (dim + 1 >= 64 or x.shape[0] > 8192)
+                else posterior_eval
+            )
+            return fn(x, *args, **kw)
+
+        return _auto
     raise ValueError(f"unknown posterior backend {backend!r}")
 
 
