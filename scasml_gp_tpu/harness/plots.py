@@ -82,6 +82,49 @@ def diff_hexbin(coords: np.ndarray, diff: np.ndarray, label: str, path: str):
         _save(fig, path)
 
 
+def spatiotemporal_heatmap(
+    coords: np.ndarray, abs_err: np.ndarray, label: str, path: str,
+    grid_num: int = 3,
+):
+    """Binned (x1, x2) mean-L1-error heatmap, one per solver (reference
+    tests/SimpleUniform.py:338-398: 3x3 cells, viridis, log color scale,
+    per-cell value annotations)."""
+    x1, x2 = coords[:, 0], coords[:, 1]
+    x1_bins = np.linspace(x1.min(), x1.max(), grid_num + 1)
+    x2_bins = np.linspace(x2.min(), x2.max(), grid_num + 1)
+    grid = np.zeros((grid_num, grid_num))
+    for i in range(grid_num):
+        for j in range(grid_num):
+            m = (
+                (x1 >= x1_bins[j]) & (x1 < x1_bins[j + 1])
+                & (x2 >= x2_bins[i]) & (x2 < x2_bins[i + 1])
+            )
+            if m.any():
+                grid[i, j] = abs_err[m].mean()
+    with plt.rc_context(_RC):
+        from matplotlib.colors import LogNorm
+
+        fig, ax = plt.subplots(figsize=(3.5, 3))
+        im = ax.pcolormesh(
+            x1_bins, x2_bins, grid, cmap="viridis",
+            norm=LogNorm(vmin=1e-4, vmax=10), shading="auto",
+        )
+        for i in range(grid_num):
+            for j in range(grid_num):
+                if grid[i, j] > 0:
+                    ax.text(
+                        (x1_bins[j] + x1_bins[j + 1]) / 2,
+                        (x2_bins[i] + x2_bins[i + 1]) / 2,
+                        f"{grid[i, j]:.2e}",
+                        ha="center", va="center", color="black", fontsize=6,
+                    )
+        cb = fig.colorbar(im, ax=ax, pad=0.02)
+        cb.set_label(f"{label} L1 Error (log scale)", rotation=270, labelpad=10)
+        ax.set_xlabel("$x_1$")
+        ax.set_ylabel("$x_2$")
+        _save(fig, path)
+
+
 def error_bars(metrics: Dict[str, Dict[str, float]], key: str, path: str):
     """Bar chart of one error metric per solver."""
     with plt.rc_context(_RC):
@@ -90,6 +133,31 @@ def error_bars(metrics: Dict[str, Dict[str, float]], key: str, path: str):
         vals = [metrics[n][key] for n in names]
         ax.bar(names, vals, color=[COLOR_SCHEME.get(n, "#888888") for n in names])
         ax.set_ylabel(key)
+        ax.spines[["top", "right"]].set_visible(False)
+        _save(fig, path)
+
+
+def improvement_bars(
+    metrics: Dict[str, Dict[str, float]], key: str, path: str,
+    ref: str = "SCaSML",
+):
+    """Error bars annotated with ``ref``'s improvement over each other solver
+    (reference tests/SimpleUniform.py:290-335, Relative_L2_Improvement.pdf)."""
+    with plt.rc_context(_RC):
+        fig, ax = plt.subplots(figsize=(3.5, 3))
+        names = list(metrics)
+        vals = [metrics[n][key] for n in names]
+        ax.bar(names, vals, color=[COLOR_SCHEME.get(n, "#888888") for n in names])
+        ref_val = metrics[ref][key]
+        for i, n in enumerate(names):
+            if n == ref:
+                continue
+            imp = (vals[i] - ref_val) / vals[i] * 100 if vals[i] else 0.0
+            sign = "-" if imp > 0 else ("+" if imp < 0 else "")
+            ax.text(i, vals[i] * 1.05, f"{sign}{abs(imp):.1f}%",
+                    ha="center", va="bottom", fontsize=7)
+        ax.set_ylabel("Relative L2 Error")
+        ax.grid(axis="y", linestyle="--", alpha=0.4)
         ax.spines[["top", "right"]].set_visible(False)
         _save(fig, path)
 

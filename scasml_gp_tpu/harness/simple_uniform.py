@@ -4,7 +4,8 @@ Parity with reference ``tests/SimpleUniform.py:24-516``: train the GP on
 1000+200 points, predict all three solvers on a fresh 1000+200 test set,
 NaN-mask, compute L1/L2/rel-L2 + paired t-tests + the GP PDE-residual stats,
 and emit the publication figures (error violin, GP/MLP-vs-SCaSML hexbin diff
-maps, error bars) plus a text log and metrics.json.
+maps, error bars, per-solver 3x3 spatiotemporal error heatmaps) plus a text
+log and metrics.json.
 """
 
 from __future__ import annotations
@@ -100,4 +101,11 @@ class SimpleUniform(HarnessBase):
             )
             plots.error_bars(summary["metrics"], "rel_L2",
                              f"{path}/Relative_L2.pdf")
+            plots.improvement_bars(summary["metrics"], "rel_L2",
+                                   f"{path}/Relative_L2_Improvement.pdf")
+            for name in ("GP", "MLP", "SCaSML"):
+                plots.spatiotemporal_heatmap(
+                    coords, abs_err[name], name,
+                    f"{path}/{name}_Spatiotemporal_Errors.pdf",
+                )
         return result

@@ -50,7 +50,11 @@ def test_simple_uniform(tmp_path):
                  train_domain=60, train_boundary=16)
     m = _check_artifacts(tmp_path, "SimpleUniform",
                          ["SimpleUniform.log", "metrics.json",
-                          "Error_Distribution.pdf", "GP_vs_SCaSML.pdf"])
+                          "Error_Distribution.pdf", "GP_vs_SCaSML.pdf",
+                          "Relative_L2_Improvement.pdf",
+                          "GP_Spatiotemporal_Errors.pdf",
+                          "MLP_Spatiotemporal_Errors.pdf",
+                          "SCaSML_Spatiotemporal_Errors.pdf"])
     assert set(m["metrics"]) == {"GP", "MLP", "SCaSML"}
     assert out["metrics"]["SCaSML"]["rel_L2"] < 1.0
 
