@@ -183,9 +183,12 @@ def dom_posterior_tiles(
     # VMEM exactly once; with the j-axis inner this is the speed-of-light
     # traffic layout (x streamed once, y resident).  Cap TJ so VMEM holds
     # double-buffered y+r tiles comfortably.
-    # (tj*ti is capped by the ~16 MB scoped-VMEM budget: the kernel keeps
-    # ~16 (tj, ti) f32 elementwise temporaries live, so 1024x256 ~= 10 MB.)
-    tj = min(_round_up(max(N, 8), 256), 1024)
+    # (tj*ti is capped by the ~16 MB scoped-VMEM budget: the all-outputs
+    # kernel keeps ~16 (tj, ti) f32 elementwise temporaries live — 1024x256
+    # tiles sit right at the limit and OOM when embedded in larger programs,
+    # so cap tj at 512 there; the mean-only kernel (~9 temps) fits 1024.)
+    tj_cap = 512 if (want_ops or want_grad) else 1024
+    tj = min(_round_up(max(N, 8), 256), tj_cap)
     N_pad = _round_up(max(N, 8), tj)
     ti = _TI
     n_pad = _round_up(max(n, 8), ti)

@@ -196,6 +196,9 @@ def select_posterior_fn(backend: str, dim: int):
     raise ValueError(f"unknown posterior backend {backend!r}")
 
 
+@partial(
+    jax.jit, static_argnames=("dim", "want_grad", "want_ops", "chunk")
+)
 def posterior_eval(
     x: jax.Array,
     x_dom: jax.Array,
@@ -211,7 +214,10 @@ def posterior_eval(
 
     ``chunk`` bounds the (chunk x N_train) intermediate size; when set, the
     batch is padded to a multiple and processed with ``lax.map`` (static
-    shapes, single compiled body).
+    shapes, single compiled body).  Jitted at THIS level so the chunked
+    ``lax.map`` is cached by shape — executed eagerly, the fresh closure
+    forced a recompile of the while-loop every call (seconds per call
+    through a remote-compile tunnel).
     """
     gamma = jnp.asarray(gamma, jnp.float32)
     n = x.shape[0]

@@ -97,4 +97,7 @@ class ComputingBudget(HarnessBase):
         if make_plots:
             plots.budget_curves(levels_used, errors,
                                 f"{path}/ComputingBudget_Errors.pdf")
+            plots.budget_improvement_bars(
+                levels_used, errors, f"{path}/Improvement_Bar_Chart.pdf"
+            )
         return result

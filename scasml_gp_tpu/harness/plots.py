@@ -212,6 +212,35 @@ def budget_curves(
         _save(fig, path)
 
 
+def budget_improvement_bars(
+    levels: Sequence[int], errors: Dict[str, Sequence[float]], path: str
+):
+    """Grouped SCaSML-vs-GP / SCaSML-vs-MLP improvement%% bars per budget
+    level (reference tests/ComputingBudget.py:352-387)."""
+    with plt.rc_context(_RC):
+        fig, ax = plt.subplots(figsize=(3.5, 3))
+        gp = np.asarray(errors["GP"], float)
+        mlp = np.asarray(errors["MLP"], float)
+        sca = np.asarray(errors["SCaSML"], float)
+        x = np.arange(len(levels))
+        width = 0.35
+        ax.bar(x - width / 2, (gp - sca) / gp * 100, width,
+               label="SCaSML vs GP", color=COLOR_SCHEME["GP"],
+               edgecolor="black", linewidth=0.5)
+        ax.bar(x + width / 2, (mlp - sca) / mlp * 100, width,
+               label="SCaSML vs MLP", color=COLOR_SCHEME["MLP"],
+               edgecolor="black", linewidth=0.5)
+        ax.set_xlabel("Computing Budget (×baseline)", labelpad=3)
+        ax.set_ylabel("Improvement (%)", labelpad=3)
+        ax.set_xticks(x)
+        ax.set_xticklabels([f"{b}×" for b in levels], rotation=45, ha="right")
+        ax.axhline(y=0, color="black", linewidth=0.8)
+        ax.legend(frameon=False, loc="upper left")
+        ax.grid(True, axis="y", linestyle="--", linewidth=0.5, alpha=0.4)
+        ax.spines[["top", "right"]].set_visible(False)
+        _save(fig, path)
+
+
 def repetition_box(values: Dict[str, np.ndarray], ylabel: str, path: str):
     """Across-repetition distribution (RepeatedExperiment)."""
     with plt.rc_context(_RC):

@@ -108,7 +108,8 @@ def test_computing_budget(tmp_path):
                  num_boundary=12, train_domain=60, train_boundary=16)
     _check_artifacts(tmp_path, "ComputingBudget",
                      ["ComputingBudget.log", "metrics.json",
-                      "ComputingBudget_Errors.pdf"])
+                      "ComputingBudget_Errors.pdf",
+                      "Improvement_Bar_Chart.pdf"])
     assert len(out["rel_L2"]["SCaSML"]) == 2
 
 
