@@ -68,9 +68,19 @@ class GPConfig:
     init_scale: float = 1e-3        # reference models/GP.py:501 sol init scale
     # 'exact' uses closed-form RBF Laplacians; 'subset' reproduces the
     # reference's frozen-5-coordinate Hutchinson estimator (models/GP.py:28-39)
-    # for parity experiments.
+    # INCLUDING its coordinate-roll quirk (models/GP.py:91-94), in closed form
+    # (gp/parity.py), for parity experiments. Requires the isotropic kernel
+    # (time_scale=1, ridge_scale=0, gamma_scale=1).
     laplacian: str = "exact"
     laplacian_subset_size: int = 5
+    # Reproduce the reference's fp16 quantization points (Gram blocks cast to
+    # float16, fp64-SVD pseudo-Cholesky factor stored fp16; models/GP.py:
+    # 43,258-266). Orthogonal to `laplacian`, so the d>=40 parity gap can be
+    # attributed bias-by-bias (VERDICT.md Next-round #1).
+    parity_fp16: bool = False
+    # Chunk size bounding the (chunk x phi_dim) posterior buffers on the hot
+    # path (HBM knob). None auto-sizes from the training-set size.
+    eval_chunk: Optional[int] = None
     # Posterior evaluation backend: 'xla' (fused-by-compiler), 'pallas'
     # (hand-tiled VMEM kernel, gp/pallas_posterior.py), or 'auto' (pallas on
     # TPU for high-dimensional problems where it measures faster).

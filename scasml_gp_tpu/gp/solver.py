@@ -135,12 +135,11 @@ class GP:
     def __init__(self, equation: Equation, config: Optional[GPConfig] = None):
         self.equation = equation
         self.config = config or GPConfig()
-        if self.config.laplacian != "exact":
+        if self.config.laplacian not in ("exact", "subset"):
             raise ValueError(
-                "only the closed-form 'exact' Laplacian is supported; the "
-                "reference's frozen-subset Hutchinson estimator "
-                "(models/GP.py:28-39) is biased and additionally permutes "
-                "coordinates — see SURVEY.md 'Hard parts'."
+                f"unknown laplacian mode {self.config.laplacian!r}; "
+                "use 'exact' (closed form) or 'subset' (reference-parity "
+                "frozen-subset Hutchinson, gp/parity.py)."
             )
         equation.geometry()
         self.T = equation.T
@@ -157,10 +156,35 @@ class GP:
         self.nugget = self.config.nugget
         self.form: GPForm = self.form_cls(equation) if self.form_cls else None
         self.state: Optional[GPState] = None
-        self.eval_chunk = 4096  # bounds (chunk x phi_dim) posterior buffers
-        self._posterior = select_posterior_fn(
-            self.config.posterior_backend, self.d
-        )
+        # bounds (chunk x phi_dim) posterior buffers (HBM knob, VERDICT #10)
+        self.eval_chunk = self.config.eval_chunk or 4096
+        self._subset = None
+        if self.config.laplacian == "subset":
+            if (
+                self.config.time_scale != 1.0
+                or self.config.ridge_scale != 0.0
+                or self.config.gamma_scale != 1.0
+            ):
+                raise ValueError(
+                    "parity mode (laplacian='subset') requires the reference's "
+                    "isotropic kernel: time_scale=1, ridge_scale=0, "
+                    "gamma_scale=1."
+                )
+            from scasml_gp_tpu.gp.parity import (
+                make_parity_posterior,
+                subset_indices,
+            )
+
+            self._subset = subset_indices(
+                self.d, self.config.laplacian_subset_size
+            )
+            self._posterior = make_parity_posterior(
+                self._subset, self.config.parity_fp16
+            )
+        else:
+            self._posterior = select_posterior_fn(
+                self.config.posterior_backend, self.d
+            )
 
     # ------------------------------------------------------------------ train
     def GPsolver(
@@ -175,15 +199,18 @@ class GP:
         bdy_g = self.equation.g(x_bdy)[:, 0].astype(jnp.float32)
         rhs = self.form.rhs_f(x_dom).astype(jnp.float32)
 
-        out = self._train_jit(
-            x_dom, x_bdy, bdy_g, rhs,
-            jnp.asarray(self.gamma, jnp.float32),
-            jnp.float32(self.nugget),
-            steps=steps,
-            damping=cfg.damping,
-            grad_tol=cfg.grad_tol,
-            init_scale=cfg.init_scale,
-        )
+        if cfg.laplacian == "subset" or cfg.parity_fp16:
+            out = self._train_parity(x_dom, x_bdy, bdy_g, rhs, steps)
+        else:
+            out = self._train_jit(
+                x_dom, x_bdy, bdy_g, rhs,
+                jnp.asarray(self.gamma, jnp.float32),
+                jnp.float32(self.nugget),
+                steps=steps,
+                damping=cfg.damping,
+                grad_tol=cfg.grad_tol,
+                init_scale=cfg.init_scale,
+            )
         self.state = GPState(
             x_dom=x_dom,
             x_bdy=x_bdy,
@@ -204,12 +231,57 @@ class GP:
         ``nugget`` are TRACED (not baked in), so hyperparameter search —
         grid (gp/tuning.py) or marginal-likelihood descent (gp/marginal.py)
         — reuses this program across candidates and can ``vmap`` it."""
-        N = x_dom.shape[0]
-        Nb = x_bdy.shape[0]
-        d = self.d
-
-        K = gram_matrix(x_dom, x_bdy, gamma, d)
+        K = gram_matrix(x_dom, x_bdy, gamma, self.d)
         _, C = regularized_factorization(K, nugget)
+        return self._newton_body(
+            C, bdy_g, rhs, steps, damping, grad_tol, init_scale
+        )
+
+    def _train_parity(self, x_dom, x_bdy, bdy_g, rhs, steps) -> _TrainOut:
+        """Reference-parity train path (VERDICT.md Next-round #1): biased
+        subset-Laplacian Gram (gp/parity.py) and/or fp16 quantization, with
+        the reference's HOST fp64 SVD pseudo-Cholesky factorization
+        (models/GP.py:258-266) instead of the in-graph Cholesky cascade."""
+        from scasml_gp_tpu.gp.parity import (
+            parity_factorization,
+            parity_gram_matrix,
+        )
+
+        cfg = self.config
+        fp16 = cfg.parity_fp16
+        if cfg.laplacian == "subset":
+            K = parity_gram_matrix(
+                x_dom, x_bdy, jnp.float32(self.gamma[0]), self._subset,
+                self.d, fp16,
+            )
+        else:  # exact closed-form blocks, fp16-quantized (attribution toggle)
+            K = gram_matrix(
+                x_dom, x_bdy, jnp.asarray(self.gamma, jnp.float32), self.d
+            )
+            if fp16:
+                K = K.astype(jnp.float16).astype(jnp.float32)
+        _, C = parity_factorization(K, self.nugget, fp16)
+        return self._train_from_C(
+            jnp.asarray(C), bdy_g, rhs,
+            steps=steps, damping=cfg.damping, grad_tol=cfg.grad_tol,
+            init_scale=cfg.init_scale,
+        )
+
+    @partial(jax.jit, static_argnames=("self", "steps"))
+    def _train_from_C(
+        self, C, bdy_g, rhs, steps, damping, grad_tol, init_scale
+    ) -> _TrainOut:
+        """Newton train given a precomputed C = (K + nugget I)^{-1}."""
+        return self._newton_body(
+            C, bdy_g, rhs, steps, damping, grad_tol, init_scale
+        )
+
+    def _newton_body(
+        self, C, bdy_g, rhs, steps, damping, grad_tol, init_scale
+    ) -> _TrainOut:
+        """The damped-Newton loop (traced inside a jit caller)."""
+        N = rhs.shape[0]
+        Nb = bdy_g.shape[0]
 
         # Row sets of b = [z1 (R1), bdy (R2), z3 (R3), F (R4), z5 (R5)].
         i1, i2, i3, i4 = N, N + Nb, 2 * N + Nb, 3 * N + Nb
