@@ -17,11 +17,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from scasml_gp_tpu.utils.logio import dump_json
+from scasml_gp_tpu.utils.logio import MaybeWandb, dump_json
+from scasml_gp_tpu.utils.profiling import harness_profile
 
 
 class HarnessBase:
-    def __init__(self, equation, solver1, solver2, solver3):
+    def __init__(self, equation, solver1, solver2, solver3, wandb: bool = False):
         self.equation = equation
         self.dim = equation.n_input - 1
         self.solver1 = solver1   # GP
@@ -29,12 +30,29 @@ class HarnessBase:
         self.solver3 = solver3   # ScaSML
         self.t0 = equation.t0
         self.T = equation.T
+        self.wandb_enabled = wandb
 
     # ---- helpers ----
     def _workdir(self, save_path: str) -> str:
         path = os.path.join(save_path, type(self).__name__)
         os.makedirs(path, exist_ok=True)
         return path
+
+    def _wandb(self) -> MaybeWandb:
+        """Metric stream for this run (reference harnesses call ``wandb.log``
+        20+ times each, e.g. tests/SimpleUniform.py:497-510). No-op unless
+        the harness was built with ``wandb=True`` AND a wandb module imports."""
+        return MaybeWandb(
+            self.wandb_enabled,
+            project="scasml-gp-tpu",
+            name=f"{type(self.equation).__name__}_{self.dim}d_"
+                 f"{type(self).__name__}",
+        )
+
+    def _profile(self, profile_dir: Optional[str], tag: str):
+        """cProfile + XLA trace around the harness's solve phase (reference
+        wraps every harness in cProfile: tests/SimpleUniform.py:57-58,143-149)."""
+        return harness_profile(profile_dir, tag)
 
     def _test_points(self, num_domain: int, num_boundary: int, seed: int):
         """Concatenated (domain + boundary) test set and its exact solution

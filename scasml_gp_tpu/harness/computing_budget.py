@@ -27,6 +27,7 @@ class ComputingBudget(HarnessBase):
         train_boundary: int = 200,
         seed: int = 1234,
         make_plots: bool = True,
+        profile_dir: str = None,
         **solve_kwargs,
     ):
         path = self._workdir(save_path)
@@ -40,46 +41,49 @@ class ComputingBudget(HarnessBase):
         times = {"GP": [], "MLP": [], "SCaSML": []}
         levels_used = []
 
-        for budget in budget_levels:
-            gn_steps = base_gn_steps * budget
-            rho = base_rho + budget - 1
+        with self._profile(profile_dir, "ComputingBudget"):
+            for budget in budget_levels:
+                gn_steps = base_gn_steps * budget
+                rho = base_rho + budget - 1
 
-            # Fresh instances per level (reference deep-copies the solvers).
-            gp = type(self.solver1)(self.equation, self.solver1.config)
-            mlp = type(self.solver2)(self.equation)
-            sca_gp = type(self.solver1)(self.equation, self.solver1.config)
-            sca = type(self.solver3)(self.equation, sca_gp)
+                # Fresh instances per level (the reference deep-copies).
+                gp = type(self.solver1)(self.equation, self.solver1.config)
+                mlp = type(self.solver2)(self.equation)
+                sca_gp = type(self.solver1)(self.equation, self.solver1.config)
+                sca = type(self.solver3)(self.equation, sca_gp)
 
-            _, t_train = self._timed(gp.GPsolver, x_dom, x_bdy, gn_steps)
-            sol_gp, t_inf = self._timed(gp.predict, x_test)
-            times["GP"].append(t_train + t_inf)
+                _, t_train = self._timed(gp.GPsolver, x_dom, x_bdy, gn_steps)
+                sol_gp, t_inf = self._timed(gp.predict, x_test)
+                times["GP"].append(t_train + t_inf)
 
-            sol_mlp, t_mlp = self._timed(
-                mlp.u_solve, rho, rho, x_test, **solve_kwargs
-            )
-            times["MLP"].append(t_mlp)
-
-            _, t_train3 = self._timed(
-                sca_gp.GPsolver, x_dom, x_bdy, max(1, gn_steps // 2)
-            )
-            sol_sca, t_inf3 = self._timed(
-                sca.u_solve, rho, rho, x_test, **solve_kwargs
-            )
-            times["SCaSML"].append(t_train3 + t_inf3)
-
-            mask = valid_mask(exact, sol_gp, sol_mlp, sol_sca)
-            ex = exact.reshape(-1)[mask]
-            norm = np.linalg.norm(ex)
-            for name, sol in (
-                ("GP", sol_gp), ("MLP", sol_mlp), ("SCaSML", sol_sca)
-            ):
-                errors[name].append(
-                    float(
-                        np.linalg.norm(np.asarray(sol, np.float64).reshape(-1)[mask]
-                                       - ex) / norm
-                    )
+                sol_mlp, t_mlp = self._timed(
+                    mlp.u_solve, rho, rho, x_test, **solve_kwargs
                 )
-            levels_used.append(int(budget))
+                times["MLP"].append(t_mlp)
+
+                _, t_train3 = self._timed(
+                    sca_gp.GPsolver, x_dom, x_bdy, max(1, gn_steps // 2)
+                )
+                sol_sca, t_inf3 = self._timed(
+                    sca.u_solve, rho, rho, x_test, **solve_kwargs
+                )
+                times["SCaSML"].append(t_train3 + t_inf3)
+
+                mask = valid_mask(exact, sol_gp, sol_mlp, sol_sca)
+                ex = exact.reshape(-1)[mask]
+                norm = np.linalg.norm(ex)
+                for name, sol in (
+                    ("GP", sol_gp), ("MLP", sol_mlp), ("SCaSML", sol_sca)
+                ):
+                    errors[name].append(
+                        float(
+                            np.linalg.norm(
+                                np.asarray(sol, np.float64).reshape(-1)[mask]
+                                - ex
+                            ) / norm
+                        )
+                    )
+                levels_used.append(int(budget))
 
         result = {
             "budget_levels": levels_used,
@@ -94,6 +98,12 @@ class ComputingBudget(HarnessBase):
             for name in times:
                 print(f"{name} times: {[round(t, 3) for t in times[name]]}")
         self._dump(path, "metrics.json", result)
+
+        wb = self._wandb()
+        for i, b in enumerate(levels_used):
+            wb.log({f"{name} rel L2, budget={b}": errors[name][i]
+                    for name in errors})
+        wb.finish()
         if make_plots:
             plots.budget_curves(levels_used, errors,
                                 f"{path}/ComputingBudget_Errors.pdf")

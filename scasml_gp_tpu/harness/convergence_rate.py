@@ -27,6 +27,7 @@ class ConvergenceRate(HarnessBase):
         sizes_boundary=None,
         seed: int = 1234,
         make_plots: bool = True,
+        profile_dir: str = None,
         **solve_kwargs,
     ):
         path = self._workdir(save_path)
@@ -39,26 +40,28 @@ class ConvergenceRate(HarnessBase):
 
         train_sizes = np.asarray(sizes_domain) + np.asarray(sizes_boundary)
         err_gp, err_sca = [], []
-        for j, (nd, nb) in enumerate(zip(sizes_domain, sizes_boundary)):
-            x_dom, x_bdy = self._train_points(nd, nb, seed + 100 + j)
-            total = nd + nb
-            # rho = floor(log N / log log N)  (reference ConvergenceRate.py:111)
-            rho = int(np.log(total) / np.log(np.log(total)))
-            self.solver1.GPsolver(x_dom, x_bdy, GN_steps=gn_steps)
-            sol1 = np.asarray(self.solver1.predict(x_test), np.float64)
-            sol3 = np.asarray(
-                self.solver3.u_solve(rho, rho, x_test, **solve_kwargs),
-                np.float64,
-            )
-            mask = valid_mask(exact, sol1, sol3)
-            ex = exact.reshape(-1)[mask]
-            norm = np.linalg.norm(ex)
-            err_gp.append(
-                np.linalg.norm(sol1.reshape(-1)[mask] - ex) / norm
-            )
-            err_sca.append(
-                np.linalg.norm(sol3.reshape(-1)[mask] - ex) / norm
-            )
+        with self._profile(profile_dir, "ConvergenceRate"):
+            for j, (nd, nb) in enumerate(zip(sizes_domain, sizes_boundary)):
+                x_dom, x_bdy = self._train_points(nd, nb, seed + 100 + j)
+                total = nd + nb
+                # rho = floor(log N / log log N)
+                # (reference ConvergenceRate.py:111)
+                rho = int(np.log(total) / np.log(np.log(total)))
+                self.solver1.GPsolver(x_dom, x_bdy, GN_steps=gn_steps)
+                sol1 = np.asarray(self.solver1.predict(x_test), np.float64)
+                sol3 = np.asarray(
+                    self.solver3.u_solve(rho, rho, x_test, **solve_kwargs),
+                    np.float64,
+                )
+                mask = valid_mask(exact, sol1, sol3)
+                ex = exact.reshape(-1)[mask]
+                norm = np.linalg.norm(ex)
+                err_gp.append(
+                    np.linalg.norm(sol1.reshape(-1)[mask] - ex) / norm
+                )
+                err_sca.append(
+                    np.linalg.norm(sol3.reshape(-1)[mask] - ex) / norm
+                )
 
         eps = 1e-10
         logx = np.log10(train_sizes + eps)
@@ -76,6 +79,14 @@ class ConvergenceRate(HarnessBase):
             print(f"GP slope: {slope_gp:.3f}")
             print(f"SCaSML slope: {slope_sca:.3f}")
         self._dump(path, "metrics.json", result)
+
+        wb = self._wandb()
+        for s, e1, e3 in zip(train_sizes, err_gp, err_sca):
+            wb.log({f"GP rel L2, N={int(s)}": float(e1),
+                    f"SCaSML rel L2, N={int(s)}": float(e3)})
+        wb.log({"GP slope": float(slope_gp),
+                "SCaSML slope": float(slope_sca)})
+        wb.finish()
 
         if make_plots:
             plots.loglog_convergence(

@@ -28,6 +28,7 @@ class InferenceScaling(HarnessBase):
         gn_steps: int = 20,
         seed: int = 1234,
         make_plots: bool = True,
+        profile_dir: str = None,
         **solve_kwargs,
     ):
         path = self._workdir(save_path)
@@ -37,22 +38,25 @@ class InferenceScaling(HarnessBase):
 
         err = {"GP": [], "MLP": [], "SCaSML": []}
         counters = []
-        for rho in range(1, rhomax + 1):
-            sol1 = np.asarray(self.solver1.predict(x_test), np.float64)
-            sol2 = np.asarray(
-                self.solver2.u_solve(rho, rho, x_test, **solve_kwargs), np.float64
-            )
-            sol3 = np.asarray(
-                self.solver3.u_solve(rho, rho, x_test, **solve_kwargs), np.float64
-            )
-            mask = valid_mask(exact, sol1, sol2, sol3)
-            ex = exact.reshape(-1)[mask]
-            norm = np.linalg.norm(ex)
-            for name, sol in (("GP", sol1), ("MLP", sol2), ("SCaSML", sol3)):
-                err[name].append(
-                    float(np.linalg.norm(sol.reshape(-1)[mask] - ex) / norm)
+        with self._profile(profile_dir, f"InferenceScaling_rhomax_{rhomax}"):
+            for rho in range(1, rhomax + 1):
+                sol1 = np.asarray(self.solver1.predict(x_test), np.float64)
+                sol2 = np.asarray(
+                    self.solver2.u_solve(rho, rho, x_test, **solve_kwargs),
+                    np.float64,
                 )
-            counters.append(int(self.solver3.evaluation_counter))
+                sol3 = np.asarray(
+                    self.solver3.u_solve(rho, rho, x_test, **solve_kwargs),
+                    np.float64,
+                )
+                mask = valid_mask(exact, sol1, sol2, sol3)
+                ex = exact.reshape(-1)[mask]
+                norm = np.linalg.norm(ex)
+                for name, sol in (("GP", sol1), ("MLP", sol2), ("SCaSML", sol3)):
+                    err[name].append(
+                        float(np.linalg.norm(sol.reshape(-1)[mask] - ex) / norm)
+                    )
+                counters.append(int(self.solver3.evaluation_counter))
 
         e1 = np.asarray(err["GP"])
         e2 = np.asarray(err["MLP"])
@@ -70,6 +74,12 @@ class InferenceScaling(HarnessBase):
             for rho, c, imp in zip(result["rho"], counters, improvement):
                 print(f"rho={rho}: evals={c} improvement={imp:.2f}%")
         self._dump(path, "metrics.json", result)
+
+        wb = self._wandb()
+        for rho, c, imp in zip(result["rho"], counters, improvement):
+            wb.log({f"evaluations, rho={rho}": c,
+                    f"improvement pct, rho={rho}": float(imp)})
+        wb.finish()
         if make_plots:
             plots.improvement_curve(
                 np.asarray(counters, np.float64), improvement,

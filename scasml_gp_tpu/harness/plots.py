@@ -65,8 +65,22 @@ def error_violin(errors: Dict[str, np.ndarray], path: str):
         _save(fig, path)
 
 
+def hexbin_stats(diff: np.ndarray) -> dict:
+    """Positive/negative count and sum of an error-difference vector
+    (reference tests/SimpleUniform.py:283-291 annotates these on the maps
+    and logs them, :490-510)."""
+    diff = np.asarray(diff, np.float64)
+    return {
+        "positive_count": int(np.sum(diff > 0)),
+        "negative_count": int(np.sum(diff < 0)),
+        "positive_sum": float(np.sum(diff[diff > 0])),
+        "negative_sum": float(np.sum(diff[diff < 0])),
+    }
+
+
 def diff_hexbin(coords: np.ndarray, diff: np.ndarray, label: str, path: str):
-    """Spatial map of error differences (reference Figures 2-3)."""
+    """Spatial map of error differences with the count/sum stat box
+    (reference tests/SimpleUniform.py:270-300, Figures 2-3)."""
     with plt.rc_context(_RC):
         fig, ax = plt.subplots(figsize=(3.5, 3))
         lim = max(float(np.abs(diff).max()), 1e-12)
@@ -77,6 +91,16 @@ def diff_hexbin(coords: np.ndarray, diff: np.ndarray, label: str, path: str):
         cb = fig.colorbar(hb, ax=ax, pad=0.02)
         cb.set_label(label, rotation=270, labelpad=10)
         cb.set_ticks([-lim, 0, lim])
+        st = hexbin_stats(diff)
+        ax.text(
+            0.95, 0.95,
+            f"Positive count: {st['positive_count']}\n"
+            f"Negative count: {st['negative_count']}\n"
+            f"Positive sum: {st['positive_sum']:.2f}\n"
+            f"Negative sum: {st['negative_sum']:.2f}",
+            transform=ax.transAxes, ha="right", va="top", fontsize=7,
+            bbox=dict(facecolor="white", alpha=0.8, edgecolor="none"),
+        )
         ax.set_xlabel("$x_1$")
         ax.set_ylabel("$x_2$")
         _save(fig, path)
@@ -162,19 +186,51 @@ def improvement_bars(
         _save(fig, path)
 
 
+def regression_ci(
+    log_x: np.ndarray, log_y: np.ndarray, slope: float, intercept: float,
+    alpha: float = 0.95,
+):
+    """95% confidence band of a log-log regression line (reference
+    tests/ConvergenceRate.py:192-214 `calculate_confidence_interval`):
+    pointwise CI of the fitted mean, se = sqrt(MSE*(1/n + (x-x̄)²/Sxx))."""
+    from scipy.stats import t as t_dist
+
+    log_y_pred = slope * log_x + intercept
+    residuals = log_y - log_y_pred
+    n = len(log_x)
+    df = max(n - 2, 1)
+    mse = np.sum(residuals ** 2) / df
+    x_mean = np.mean(log_x)
+    sxx = np.sum((log_x - x_mean) ** 2)
+    t_crit = t_dist.ppf((1 + alpha) / 2, df)
+    se = np.sqrt(mse * (1.0 / n + (log_x - x_mean) ** 2 / sxx))
+    return 10 ** (log_y_pred + t_crit * se), 10 ** (log_y_pred - t_crit * se)
+
+
 def loglog_convergence(
     sizes: np.ndarray,
     series: Dict[str, np.ndarray],
     slopes: Dict[str, float],
     path: str,
 ):
-    """log-log error vs training size with fitted slopes (ConvergenceRate)."""
+    """log-log error vs training size with fitted slopes + 95% CI bands
+    (reference tests/ConvergenceRate.py:192-240: fill_between regression CI
+    under the data points)."""
+    eps = 1e-10
+    log_x = np.log10(np.asarray(sizes, np.float64) + eps)
     with plt.rc_context(_RC):
         fig, ax = plt.subplots(figsize=(3.5, 3))
         for name, err in series.items():
             color = COLOR_SCHEME.get(name, "#888888")
-            ax.loglog(sizes, err, marker="x", linestyle="-", color=color,
-                      label=f"{name} (slope {slopes[name]:.2f})")
+            log_y = np.log10(np.asarray(err, np.float64) + eps)
+            slope, intercept = np.polyfit(log_x, log_y, 1)
+            upper, lower = regression_ci(log_x, log_y, slope, intercept)
+            ax.fill_between(sizes, lower, upper, color=color, alpha=0.15,
+                            linewidth=0, zorder=1)
+            ax.loglog(sizes, 10 ** (slope * log_x + intercept), linestyle="--",
+                      color=color, linewidth=0.8, zorder=2)
+            ax.loglog(sizes, err, marker="x", linestyle="none", color=color,
+                      label=f"{name} (slope {slopes[name]:.2f})", zorder=3)
         ax.set_xlabel("Training size")
         ax.set_ylabel("Relative $L^2$ error")
         ax.legend(frameon=False)

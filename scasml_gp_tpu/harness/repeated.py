@@ -32,6 +32,7 @@ class RepeatedExperiment(HarnessBase):
         num_repetitions: int = 10,
         seed: int = 1234,
         make_plots: bool = True,
+        profile_dir: str = None,
         **solve_kwargs,
     ):
         path = self._workdir(save_path)
@@ -43,26 +44,29 @@ class RepeatedExperiment(HarnessBase):
         per_metric = {m: {s: [] for s in _SOLVERS} for m in ("L1", "L2", "rel_L2")}
         times = {s: [] for s in _SOLVERS}
 
-        for rep in range(num_repetitions):
-            # fresh test set per repetition, seeds 42+i
-            # (reference tests/RepeatedExperiment.py:143-203)
-            x_test, exact = self._test_points(num_domain, num_boundary, 42 + rep)
-            sol1, t1 = self._timed(self.solver1.predict, x_test)
-            sol2, t2 = self._timed(
-                self.solver2.u_solve, n, rhomax, x_test, **solve_kwargs
-            )
-            sol3, t3 = self._timed(
-                self.solver3.u_solve, n, rhomax, x_test, **solve_kwargs
-            )
-            mask = valid_mask(exact, sol1, sol2, sol3)
-            ex = exact.reshape(-1)[mask]
-            for name, sol, t in (
-                ("GP", sol1, t1), ("MLP", sol2, t2), ("SCaSML", sol3, t3)
-            ):
-                m = error_metrics(np.asarray(sol).reshape(-1)[mask], ex)
-                for key in per_metric:
-                    per_metric[key][name].append(m[key])
-                times[name].append(t)
+        with self._profile(profile_dir, f"RepeatedExperiment_rho_{rhomax}"):
+            for rep in range(num_repetitions):
+                # fresh test set per repetition, seeds 42+i
+                # (reference tests/RepeatedExperiment.py:143-203)
+                x_test, exact = self._test_points(
+                    num_domain, num_boundary, 42 + rep
+                )
+                sol1, t1 = self._timed(self.solver1.predict, x_test)
+                sol2, t2 = self._timed(
+                    self.solver2.u_solve, n, rhomax, x_test, **solve_kwargs
+                )
+                sol3, t3 = self._timed(
+                    self.solver3.u_solve, n, rhomax, x_test, **solve_kwargs
+                )
+                mask = valid_mask(exact, sol1, sol2, sol3)
+                ex = exact.reshape(-1)[mask]
+                for name, sol, t in (
+                    ("GP", sol1, t1), ("MLP", sol2, t2), ("SCaSML", sol3, t3)
+                ):
+                    m = error_metrics(np.asarray(sol).reshape(-1)[mask], ex)
+                    for key in per_metric:
+                        per_metric[key][name].append(m[key])
+                    times[name].append(t)
 
         def _stats(vals):
             vals = np.asarray(vals, np.float64)
@@ -86,11 +90,16 @@ class RepeatedExperiment(HarnessBase):
             "t_tests": {},
             "raw": per_metric,
         }
-        for a in ("GP", "MLP"):
-            t, p = sstats.ttest_rel(
-                per_metric["rel_L2"][a], per_metric["rel_L2"]["SCaSML"]
-            )
-            result["t_tests"][f"{a}_vs_SCaSML"] = {"t": float(t), "p": float(p)}
+        # full paired t-test matrix: each of rel_L2/L1/L2 x GP-vs-SCaSML,
+        # MLP-vs-SCaSML, GP-vs-MLP (reference RepeatedExperiment.py:273-306)
+        for metric in ("rel_L2", "L1", "L2"):
+            for a, b in (("GP", "SCaSML"), ("MLP", "SCaSML"), ("GP", "MLP")):
+                t, p = sstats.ttest_rel(
+                    per_metric[metric][a], per_metric[metric][b]
+                )
+                result["t_tests"][f"{metric}:{a}_vs_{b}"] = {
+                    "t": float(t), "p": float(p)
+                }
 
         with tee_log(f"{path}/RepeatedExperiment.log"):
             for m in per_metric:
@@ -102,9 +111,19 @@ class RepeatedExperiment(HarnessBase):
                 print(f"Execution time ({s}): mean "
                       f"{result['times'][s]['mean']:.4f}s")
             for pair, t in result["t_tests"].items():
-                print(f"t-test {pair}: t={t['t']:.3f} p={t['p']:.3g}")
+                print(f"t-test {pair}: t={t['t']:.6f} p={t['p']:.6e}")
 
         self._dump(path, "metrics.json", result)
+
+        wb = self._wandb()
+        for m in per_metric:
+            for s in _SOLVERS:
+                st = result["metrics"][m][s]
+                wb.log({f"mean of {s} {m}, rho={rhomax}": st["mean"],
+                        f"std of {s} {m}, rho={rhomax}": st["std"]})
+        for pair, t in result["t_tests"].items():
+            wb.log({f"p-value {pair}, rho={rhomax}": t["p"]})
+        wb.finish()
 
         if make_plots:
             plots.repetition_box(

@@ -63,7 +63,7 @@ def run(config: RunConfig, **test_kwargs):
     """Build solvers + harness from the config and execute one run."""
     eq, gp, mlp, scasml = build_solvers(config)
     harness_cls = HARNESSES[config.harness]
-    harness = harness_cls(eq, gp, mlp, scasml)
+    harness = harness_cls(eq, gp, mlp, scasml, wandb=config.wandb)
     # variant-level directory mirrors the reference's results/ vs
     # results_full_history/ split
     save_path = (
@@ -101,6 +101,11 @@ def main(argv=None):
     parser.add_argument("--rho", type=int, default=2)
     parser.add_argument("--M", type=int, default=3)
     parser.add_argument("--batch-chunk", type=int, default=None)
+    parser.add_argument("--wandb", action="store_true",
+                        help="stream metrics to wandb (no-op if unavailable)")
+    parser.add_argument("--profile-dir", default=None,
+                        help="dump a cProfile .prof + XLA trace of the solve "
+                             "phase into this directory")
     parser.add_argument("--ridge-scale", type=float, default=0.0,
                         help="ridge kernel precision multiplier (0 = reference kernel)")
     parser.add_argument("--time-scale", type=float, default=1.0)
@@ -125,6 +130,7 @@ def main(argv=None):
             harness=args.harness,
             save_path=args.save_path,
             seed=args.seed,
+            wandb=args.wandb,
         )
         config = dataclasses.replace(
             config,
@@ -164,7 +170,8 @@ def main(argv=None):
                 )
                 print(f"tuned GP config: {result.config}", file=sys.stderr)
             config = dataclasses.replace(config, gp=result.config)
-    result = run(config)
+    extra = {"profile_dir": args.profile_dir} if args.profile_dir else {}
+    result = run(config, **extra)
     print("done:", config.harness, file=sys.stderr)
     return result
 

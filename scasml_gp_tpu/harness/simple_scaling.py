@@ -27,6 +27,7 @@ class SimpleScaling(HarnessBase):
         gn_steps: int = 20,
         seed: int = 1234,
         make_plots: bool = True,
+        profile_dir: str = None,
     ):
         path = self._workdir(save_path)
         x_dom, x_bdy = self._train_points(train_domain, train_boundary, seed)
@@ -36,23 +37,24 @@ class SimpleScaling(HarnessBase):
         err = {"GP": [], "MLP": [], "SCaSML": []}
         counters, bases = [], []
         rho = 1
-        for M in range(2, max_base + 1):
-            sol1 = np.asarray(self.solver1.predict(x_test), np.float64)
-            sol2 = np.asarray(
-                self.solver2.u_solve(rho, rho, x_test, M=M), np.float64
-            )
-            sol3 = np.asarray(
-                self.solver3.u_solve(rho, rho, x_test, M=M), np.float64
-            )
-            mask = valid_mask(exact, sol1, sol2, sol3)
-            ex = exact.reshape(-1)[mask]
-            norm = np.linalg.norm(ex)
-            for name, sol in (("GP", sol1), ("MLP", sol2), ("SCaSML", sol3)):
-                err[name].append(
-                    float(np.linalg.norm(sol.reshape(-1)[mask] - ex) / norm)
+        with self._profile(profile_dir, f"SimpleScaling_maxbase_{max_base}"):
+            for M in range(2, max_base + 1):
+                sol1 = np.asarray(self.solver1.predict(x_test), np.float64)
+                sol2 = np.asarray(
+                    self.solver2.u_solve(rho, rho, x_test, M=M), np.float64
                 )
-            counters.append(int(self.solver3.evaluation_counter))
-            bases.append(M)
+                sol3 = np.asarray(
+                    self.solver3.u_solve(rho, rho, x_test, M=M), np.float64
+                )
+                mask = valid_mask(exact, sol1, sol2, sol3)
+                ex = exact.reshape(-1)[mask]
+                norm = np.linalg.norm(ex)
+                for name, sol in (("GP", sol1), ("MLP", sol2), ("SCaSML", sol3)):
+                    err[name].append(
+                        float(np.linalg.norm(sol.reshape(-1)[mask] - ex) / norm)
+                    )
+                counters.append(int(self.solver3.evaluation_counter))
+                bases.append(M)
 
         e1 = np.asarray(err["GP"])
         e2 = np.asarray(err["MLP"])
@@ -70,6 +72,12 @@ class SimpleScaling(HarnessBase):
             for M, c, imp in zip(bases, counters, improvement):
                 print(f"M={M}: evals={c} improvement={imp:.2f}%")
         self._dump(path, "metrics.json", result)
+
+        wb = self._wandb()
+        for M, c, imp in zip(bases, counters, improvement):
+            wb.log({f"evaluations, M={M}": c,
+                    f"improvement pct, M={M}": float(imp)})
+        wb.finish()
         if make_plots:
             plots.improvement_curve(
                 np.asarray(counters, np.float64), improvement,

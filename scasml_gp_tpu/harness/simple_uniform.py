@@ -35,16 +35,14 @@ class SimpleUniform(HarnessBase):
         path = self._workdir(save_path)
         n = rhomax
 
-        from scasml_gp_tpu.utils.profiling import xla_trace
-
         x_dom, x_bdy = self._train_points(train_domain, train_boundary, seed)
         _, t_train = self._timed(self.solver1.GPsolver, x_dom, x_bdy)
 
         x_test, exact = self._test_points(num_domain, num_boundary, seed + 1)
 
-        # optional perfetto/XLA trace of the three solve phases (replaces the
-        # reference's cProfile dump, tests/SimpleUniform.py:57-58,143-149)
-        with xla_trace(profile_dir):
+        # cProfile + XLA trace of the three solve phases (reference wraps the
+        # harness in cProfile, tests/SimpleUniform.py:57-58,143-149)
+        with self._profile(profile_dir, f"SimpleUniform_rho_{rhomax}"):
             sol1, time1 = self._timed(self.solver1.predict, x_test)
             sol2, time2 = self._timed(
                 self.solver2.u_solve, n, rhomax, x_test, **solve_kwargs
@@ -62,12 +60,18 @@ class SimpleUniform(HarnessBase):
         pde_loss = np.asarray(
             self.solver1.compute_PDE_loss(x_test[mask]), np.float64
         ).ravel()
+        abs_err = {k: np.abs(v) for k, v in errors.items()}
+        diff_stats = {
+            "GP_vs_SCaSML": plots.hexbin_stats(abs_err["GP"] - abs_err["SCaSML"]),
+            "MLP_vs_SCaSML": plots.hexbin_stats(abs_err["MLP"] - abs_err["SCaSML"]),
+        }
         result = {
             **summary,
             "times": {"GP": time1, "MLP": time2, "SCaSML": time3,
                       "GP_train": t_train},
             "PDE_loss": {"mean": float(pde_loss.mean()),
                          "std": float(pde_loss.std())},
+            "diff_stats": diff_stats,
         }
 
         with tee_log(f"{path}/SimpleUniform.log"):
@@ -82,13 +86,40 @@ class SimpleUniform(HarnessBase):
                   f"std: {result['PDE_loss']['std']:.4g}")
             for pair, t in summary["t_tests"].items():
                 print(f"t-test {pair}: t={t['t']:.3f} p={t['p']:.3g}")
+            for pair, st in diff_stats.items():
+                print(f"{pair}, rho={rhomax}-> positive count: "
+                      f"{st['positive_count']} negative count: "
+                      f"{st['negative_count']} positive sum: "
+                      f"{st['positive_sum']:.4f} negative sum: "
+                      f"{st['negative_sum']:.4f}")
 
         self._dump(path, "metrics.json", result)
+
+        # wandb metric stream with the reference's key style
+        # (tests/SimpleUniform.py:497-510)
+        wb = self._wandb()
+        for name in ("GP", "MLP", "SCaSML"):
+            wb.log({
+                f"mean of {name} L2, rho={rhomax}":
+                    float(abs_err[name].mean()),
+                f"std of {name} L2, rho={rhomax}": float(abs_err[name].std()),
+                f"min of {name} L2, rho={rhomax}": float(abs_err[name].min()),
+                f"max of {name} L2, rho={rhomax}": float(abs_err[name].max()),
+                f"rel L2 of {name}, rho={rhomax}":
+                    summary["metrics"][name]["rel_L2"],
+            })
+        for pair, t in summary["t_tests"].items():
+            wb.log({f"p-value {pair}, rho={rhomax}": t["p"]})
+        for pair, st in diff_stats.items():
+            # key style of reference tests/SimpleUniform.py:502-503, e.g.
+            # "positive count of GP_vs_SCaSML, rho=2"
+            wb.log({f"{k.replace('_', ' ')} of {pair}, rho={rhomax}": v
+                    for k, v in st.items()})
+        wb.finish()
 
         if make_plots:
             plots.error_violin(errors, f"{path}/Error_Distribution.pdf")
             coords = np.asarray(x_test)[mask, :2]
-            abs_err = {k: np.abs(v) for k, v in errors.items()}
             plots.diff_hexbin(
                 coords, abs_err["GP"] - abs_err["SCaSML"],
                 "Error Difference (GP - SCaSML)",

@@ -47,3 +47,29 @@ def xla_trace(log_dir: Optional[str]):
         return
     with jax.profiler.trace(log_dir):
         yield
+
+
+@contextlib.contextmanager
+def harness_profile(profile_dir: Optional[str], tag: str):
+    """Per-harness profiling artifact (reference tests/SimpleUniform.py:57-58,
+    143-149 wraps every harness in cProfile and dumps ``<eq>_rho_<r>.prof``).
+
+    Emits BOTH a host-side cProfile dump (``<profile_dir>/<tag>.prof``) and a
+    device-side XLA/perfetto trace in the same directory — on TPU the host
+    profile alone is blind to where device time goes. No-op when
+    ``profile_dir`` is None."""
+    if profile_dir is None:
+        yield
+        return
+    import cProfile
+    import os
+
+    os.makedirs(profile_dir, exist_ok=True)
+    prof = cProfile.Profile()
+    prof.enable()
+    try:
+        with jax.profiler.trace(profile_dir):
+            yield
+    finally:
+        prof.disable()
+        prof.dump_stats(os.path.join(profile_dir, f"{tag}.prof"))

@@ -67,7 +67,12 @@ def test_repeated_experiment(tmp_path):
                          ["RepeatedExperiment.log", "metrics.json",
                           "RelL2_Repetitions.pdf"])
     assert m["num_repetitions"] == 3
-    assert "GP_vs_SCaSML" in m["t_tests"]
+    # full 9-test matrix: {rel_L2, L1, L2} x {GP-SCaSML, MLP-SCaSML, GP-MLP}
+    # (reference tests/RepeatedExperiment.py:273-306)
+    assert len(m["t_tests"]) == 9
+    for metric in ("rel_L2", "L1", "L2"):
+        for pair in ("GP_vs_SCaSML", "MLP_vs_SCaSML", "GP_vs_MLP"):
+            assert f"{metric}:{pair}" in m["t_tests"]
 
 
 def test_convergence_rate(tmp_path):
@@ -111,6 +116,42 @@ def test_computing_budget(tmp_path):
                       "ComputingBudget_Errors.pdf",
                       "Improvement_Bar_Chart.pdf"])
     assert len(out["rel_L2"]["SCaSML"]) == 2
+
+
+def test_wandb_stub_records_reference_keys(tmp_path, monkeypatch):
+    """With a stub wandb module, a wandb=True harness run records the
+    reference's metric-key families (tests/SimpleUniform.py:497-510) without
+    any network access."""
+    import sys
+    import types
+
+    logged = []
+    stub = types.ModuleType("wandb")
+    stub.init = lambda **kw: types.SimpleNamespace(**kw)
+    stub.log = lambda data: logged.append(data)
+    stub.finish = lambda: None
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    h = SimpleUniform(*make_quad(), wandb=True)
+    h.test(str(tmp_path), rhomax=2, num_domain=80, num_boundary=16,
+           train_domain=60, train_boundary=16, make_plots=False)
+    keys = {k for d in logged for k in d}
+    assert any(k.startswith("mean of GP L2") for k in keys)
+    assert any(k.startswith("p-value") for k in keys)
+    assert any("positive count" in k for k in keys)
+
+
+def test_profile_dir_artifacts(tmp_path):
+    """profile_dir produces the reference-style .prof dump plus an XLA trace
+    directory (reference tests/SimpleUniform.py:57-58,143-149)."""
+    prof_dir = str(tmp_path / "prof")
+    h = SimpleUniform(*make_quad())
+    h.test(str(tmp_path), rhomax=2, num_domain=80, num_boundary=16,
+           train_domain=60, train_boundary=16, make_plots=False,
+           profile_dir=prof_dir)
+    assert os.path.exists(os.path.join(prof_dir, "SimpleUniform_rho_2.prof"))
+    # the jax trace writes under <dir>/plugins/profile/...
+    assert any(os.scandir(prof_dir))
 
 
 def test_runner_end_to_end(tmp_path):
