@@ -17,30 +17,42 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass(frozen=True)
 class PrecisionPolicy:
-    """TPU-native precision policy.
+    """TPU-native precision policy: bfloat16 operands, float32 accumulation.
 
     The reference casts nearly everything to float16 and runs an SVD in float64
     (reference ``models/GP.py:258-266``).  On TPU the natural mapping is
-    bfloat16/float32 storage with float32 accumulation on the MXU, float64 only
-    for host-side quadrature tables; see SURVEY.md §5 "Precision policy".
+    bfloat16 MXU operands with float32 accumulation; quadrature tables are
+    always built host-side in float64 (picard/schedule.py) and factorizations
+    always run in float32 (gp/gram.py) regardless of this policy.
+
+    - ``gram``: operand dtype of the pair-statistics matmul in Gram assembly
+      and posterior cross-kernel evaluation (gp/kernels.py pair_stats).
+      'bfloat16' runs the O(N^2 d) distance matmul on the MXU in bf16 with
+      fp32 accumulation; the elementwise kernel math stays fp32.
+    - ``rollout``: storage dtype of the Brownian sample paths (xi, X, W) in
+      the Picard rollouts (picard/core.py).  The u/z accumulators, quadrature
+      weights and all reductions stay fp32.
     """
 
-    compute: str = "float32"    # dtype for on-device math (Gram, solves, rollouts)
-    storage: str = "float32"    # dtype for large persistent arrays (Gram, paths)
-    solve: str = "float32"      # dtype for factorizations / linear solves
-    host_tables: str = "float64"  # dtype for host-built quadrature tables
+    gram: str = "float32"     # 'float32' | 'bfloat16'
+    rollout: str = "float32"  # 'float32' | 'bfloat16'
+
+    def __post_init__(self):
+        for field in ("gram", "rollout"):
+            val = getattr(self, field)
+            if val not in ("float32", "bfloat16"):
+                raise ValueError(
+                    f"PrecisionPolicy.{field} must be 'float32' or "
+                    f"'bfloat16', got {val!r}"
+                )
 
     @property
-    def compute_dtype(self):
-        return jnp.dtype(self.compute)
+    def gram_dtype(self):
+        return jnp.dtype(self.gram)
 
     @property
-    def storage_dtype(self):
-        return jnp.dtype(self.storage)
-
-    @property
-    def solve_dtype(self):
-        return jnp.dtype(self.solve)
+    def rollout_dtype(self):
+        return jnp.dtype(self.rollout)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -21,20 +21,24 @@ import jax.numpy as jnp
 from scasml_gp_tpu.gp.kernels import PHI_OPS, PHI_SETS, op_block, pair_stats
 
 
-@partial(jax.jit, static_argnames=("dim",))
+@partial(jax.jit, static_argnames=("dim", "operand_dtype"))
 def gram_matrix(
-    x_dom: jax.Array, x_bdy: jax.Array, gamma: float, dim: int
+    x_dom: jax.Array, x_bdy: jax.Array, gamma: float, dim: int,
+    operand_dtype: str = "float32",
 ) -> jax.Array:
     """Full phi-phi Gram, shape (4N+Nb, 4N+Nb), fp32.
 
     Row/column order matches the reference assembly
     (models/GP.py:251-258): [ID@dom, ID@bdy, LAP@dom, DT@dom, DIV@dom].
+    ``operand_dtype='bfloat16'`` (PrecisionPolicy.gram) runs the pair-stat
+    matmuls with bf16 operands / fp32 accumulation; K itself is always fp32.
     """
+    dt = jnp.dtype(operand_dtype)
     stats = {
-        ("dom", "dom"): pair_stats(x_dom, x_dom, gamma),
-        ("dom", "bdy"): pair_stats(x_dom, x_bdy, gamma),
-        ("bdy", "dom"): pair_stats(x_bdy, x_dom, gamma),
-        ("bdy", "bdy"): pair_stats(x_bdy, x_bdy, gamma),
+        ("dom", "dom"): pair_stats(x_dom, x_dom, gamma, dt),
+        ("dom", "bdy"): pair_stats(x_dom, x_bdy, gamma, dt),
+        ("bdy", "dom"): pair_stats(x_bdy, x_dom, gamma, dt),
+        ("bdy", "bdy"): pair_stats(x_bdy, x_bdy, gamma, dt),
     }
     rows = []
     for a, sa in zip(PHI_OPS, PHI_SETS):

@@ -76,14 +76,25 @@ class PairStats(NamedTuple):
     dt: jax.Array     # (n, m) time difference x_t - y_t
 
 
-def pair_stats(x: jax.Array, y: jax.Array, gamma) -> PairStats:
-    """Compute pair statistics via one matmul; fp32 accumulation on the MXU."""
+def pair_stats(
+    x: jax.Array, y: jax.Array, gamma, operand_dtype=jnp.float32
+) -> PairStats:
+    """Compute pair statistics via one matmul; fp32 accumulation on the MXU.
+
+    ``operand_dtype=bfloat16`` (PrecisionPolicy.gram) feeds the O(n*m*d)
+    distance matmul bf16 operands — half the HBM traffic and the MXU's
+    native input width — while accumulating in fp32.  The norms use the SAME
+    rounded values so r2 stays consistent (and >= 0 up to fp32 round-off);
+    all elementwise kernel math is fp32.
+    """
     gs, gt, gr = split_gamma(gamma)
-    x = x.astype(jnp.float32)
-    y = y.astype(jnp.float32)
+    xo = x.astype(operand_dtype)
+    yo = y.astype(operand_dtype)
+    x = xo.astype(jnp.float32)
+    y = yo.astype(jnp.float32)
     # Full space-time squared distance via |x|^2 + |y|^2 - 2 x.y (MXU matmul).
     xy = jax.lax.dot_general(
-        x, y, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        xo, yo, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     r2 = (
         jnp.sum(x * x, axis=1)[:, None]

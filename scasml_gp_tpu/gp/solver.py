@@ -31,7 +31,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from scasml_gp_tpu.config import GPConfig
+from scasml_gp_tpu.config import GPConfig, PrecisionPolicy
 from scasml_gp_tpu.equations.base import Equation
 from scasml_gp_tpu.gp.gram import gram_matrix, regularized_factorization
 from scasml_gp_tpu.gp.kernels import kernel_gammas
@@ -132,9 +132,21 @@ class GP:
 
     form_cls = None  # set by subclasses
 
-    def __init__(self, equation: Equation, config: Optional[GPConfig] = None):
+    def __init__(
+        self,
+        equation: Equation,
+        config: Optional[GPConfig] = None,
+        precision: Optional[PrecisionPolicy] = None,
+        mesh=None,
+    ):
         self.equation = equation
         self.config = config or GPConfig()
+        # bf16-operand / fp32-accumulate policy for the Gram pair matmuls
+        # (PrecisionPolicy.gram; VERDICT.md Next-round #3)
+        self.precision = precision or PrecisionPolicy()
+        # Optional jax.sharding.Mesh: training points are placed sharded over
+        # the 'model' axis so GSPMD distributes the Gram tiles (SURVEY §2 X2).
+        self.mesh = mesh
         if self.config.laplacian not in ("exact", "subset"):
             raise ValueError(
                 f"unknown laplacian mode {self.config.laplacian!r}; "
@@ -196,6 +208,8 @@ class GP:
         steps = cfg.gn_steps if GN_steps is None else int(GN_steps)
         x_dom = jnp.asarray(x_t_domain, jnp.float32)
         x_bdy = jnp.asarray(x_t_boundary, jnp.float32)
+        if self.mesh is not None:
+            x_dom = self._shard_train_points(x_dom)
         bdy_g = self.equation.g(x_bdy)[:, 0].astype(jnp.float32)
         rhs = self.form.rhs_f(x_dom).astype(jnp.float32)
 
@@ -210,6 +224,7 @@ class GP:
                 damping=cfg.damping,
                 grad_tol=cfg.grad_tol,
                 init_scale=cfg.init_scale,
+                gram_dtype=self.precision.gram,
             )
         self.state = GPState(
             x_dom=x_dom,
@@ -222,16 +237,27 @@ class GP:
         self.loss_history = out.loss_history
         return self.predict(x_dom)
 
-    @partial(jax.jit, static_argnames=("self", "steps"))
+    def _shard_train_points(self, x_dom):
+        """Place the interior points sharded over the mesh's 'model' axis so
+        GSPMD computes Gram tiles where their rows live (falls back to
+        replicated when the point count doesn't divide the axis)."""
+        from scasml_gp_tpu.parallel.mesh import train_point_sharding
+
+        n_model = self.mesh.shape["model"]
+        if x_dom.shape[0] % n_model:
+            return x_dom
+        return jax.device_put(x_dom, train_point_sharding(self.mesh))
+
+    @partial(jax.jit, static_argnames=("self", "steps", "gram_dtype"))
     def _train_jit(
         self, x_dom, x_bdy, bdy_g, rhs, gamma, nugget,
-        steps, damping, grad_tol, init_scale,
+        steps, damping, grad_tol, init_scale, gram_dtype="float32",
     ) -> _TrainOut:
         """One compiled graph for the whole Newton train.  ``gamma`` and
         ``nugget`` are TRACED (not baked in), so hyperparameter search —
         grid (gp/tuning.py) or marginal-likelihood descent (gp/marginal.py)
         — reuses this program across candidates and can ``vmap`` it."""
-        K = gram_matrix(x_dom, x_bdy, gamma, self.d)
+        K = gram_matrix(x_dom, x_bdy, gamma, self.d, gram_dtype)
         _, C = regularized_factorization(K, nugget)
         return self._newton_body(
             C, bdy_g, rhs, steps, damping, grad_tol, init_scale

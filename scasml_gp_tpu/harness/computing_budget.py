@@ -46,11 +46,20 @@ class ComputingBudget(HarnessBase):
                 gn_steps = base_gn_steps * budget
                 rho = base_rho + budget - 1
 
-                # Fresh instances per level (the reference deep-copies).
-                gp = type(self.solver1)(self.equation, self.solver1.config)
-                mlp = type(self.solver2)(self.equation)
-                sca_gp = type(self.solver1)(self.equation, self.solver1.config)
-                sca = type(self.solver3)(self.equation, sca_gp)
+                # Fresh instances per level (the reference deep-copies),
+                # preserving the precision/mesh policy of the originals.
+                gp_kw = dict(precision=self.solver1.precision,
+                             mesh=self.solver1.mesh)
+                pc_kw = dict(precision=self.solver2.precision,
+                             mesh=self.solver2.mesh)
+                gp = type(self.solver1)(
+                    self.equation, self.solver1.config, **gp_kw
+                )
+                mlp = type(self.solver2)(self.equation, **pc_kw)
+                sca_gp = type(self.solver1)(
+                    self.equation, self.solver1.config, **gp_kw
+                )
+                sca = type(self.solver3)(self.equation, sca_gp, **pc_kw)
 
                 _, t_train = self._timed(gp.GPsolver, x_dom, x_bdy, gn_steps)
                 sol_gp, t_inf = self._timed(gp.predict, x_test)

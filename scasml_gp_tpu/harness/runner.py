@@ -45,17 +45,31 @@ GP_CLASSES = {
 
 
 def build_solvers(config: RunConfig):
-    """(equation, gp, mlp, scasml) per the config's PDE/dim/variant."""
+    """(equation, gp, mlp, scasml) per the config's PDE/dim/variant.
+
+    A non-trivial ``config.mesh`` builds the 2-D ('data', 'model') device
+    mesh and hands it to every solver: GP training points go sharded over
+    'model' (GSPMD distributes the Gram tiles), rollout batches over 'data'.
+    ``config.precision`` sets the bf16-operand Gram / bf16 path-storage
+    policy (VERDICT.md Next-round #3)."""
     eq_cls = EQUATIONS[config.equation]
     eq = eq_cls(n_input=config.n_input)
-    gp = GP_CLASSES[config.equation](eq, config.gp)
+    mesh = None
+    if config.mesh.data * config.mesh.model > 1 or config.mesh.data == -1:
+        from scasml_gp_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(config.mesh.data, config.mesh.model)
+    gp = GP_CLASSES[config.equation](
+        eq, config.gp, precision=config.precision, mesh=mesh
+    )
     chunk = config.picard.batch_chunk
+    kw = dict(batch_chunk=chunk, precision=config.precision, mesh=mesh)
     if config.picard.variant == "full_history":
-        mlp = MLPFullHistory(eq, batch_chunk=chunk)
-        scasml = ScaSMLFullHistory(eq, gp, batch_chunk=chunk)
+        mlp = MLPFullHistory(eq, **kw)
+        scasml = ScaSMLFullHistory(eq, gp, **kw)
     else:
-        mlp = MLP(eq, batch_chunk=chunk)
-        scasml = ScaSML(eq, gp, batch_chunk=chunk)
+        mlp = MLP(eq, **kw)
+        scasml = ScaSML(eq, gp, **kw)
     return eq, gp, mlp, scasml
 
 
@@ -101,6 +115,16 @@ def main(argv=None):
     parser.add_argument("--rho", type=int, default=2)
     parser.add_argument("--M", type=int, default=3)
     parser.add_argument("--batch-chunk", type=int, default=None)
+    parser.add_argument("--mesh-data", type=int, default=1,
+                        help="devices on the 'data' mesh axis (batch/MC "
+                             "sharding); -1 = all remaining devices")
+    parser.add_argument("--mesh-model", type=int, default=1,
+                        help="devices on the 'model' mesh axis (Gram-row "
+                             "sharding)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 precision policy: bf16-operand Gram "
+                             "matmuls + bf16 rollout path storage (fp32 "
+                             "accumulation everywhere)")
     parser.add_argument("--wandb", action="store_true",
                         help="stream metrics to wandb (no-op if unavailable)")
     parser.add_argument("--profile-dir", default=None,
@@ -132,6 +156,8 @@ def main(argv=None):
             seed=args.seed,
             wandb=args.wandb,
         )
+        from scasml_gp_tpu.config import MeshConfig, PrecisionPolicy
+
         config = dataclasses.replace(
             config,
             gp=dataclasses.replace(
@@ -141,6 +167,11 @@ def main(argv=None):
             picard=dataclasses.replace(
                 config.picard, variant=args.variant, rho=args.rho, M=args.M,
                 batch_chunk=args.batch_chunk,
+            ),
+            mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model),
+            precision=(
+                PrecisionPolicy(gram="bfloat16", rollout="bfloat16")
+                if args.bf16 else PrecisionPolicy()
             ),
         )
         if args.tune or args.fit_ml:

@@ -76,6 +76,7 @@ def make_sharded_train_and_solve(
             damping=cfg.damping,
             grad_tol=cfg.grad_tol,
             init_scale=cfg.init_scale,
+            gram_dtype=gp.precision.gram,
         )
         state = GPState(
             x_dom=x_dom,

@@ -62,12 +62,18 @@ class PicardModel(NamedTuple):
     # 'corrected' divides by sqrt(T - t). The linear-in-z reference PDE
     # is insensitive (the bias telescopes); gradient-quadratic ones are not.
     terminal_z: str = "reference"
+    # Storage dtype of the Brownian sample paths (xi, X, W) — the dominant
+    # (B x MC x dim) HBM buffers of the rollout. 'bfloat16' halves their
+    # traffic; the u/z accumulators, weights and all reductions stay fp32
+    # (PrecisionPolicy.rollout; VERDICT.md Next-round #3).
+    path_dtype: str = "float32"
 
 
 def _z_accum(vals, weights, mf: int, centered: bool):
     """Per-sample z contribution sum: sum_i vals_i * weights_i, optionally in
     unbiased covariance form (centered control variate), normalized by the
     effective sample count. vals: (B, mf); weights: (B, mf, dim)."""
+    weights = weights.astype(jnp.float32)  # f32 accumulate (paths may be bf16)
     prod = jnp.sum(vals[..., None] * weights, axis=1)          # (B, dim)
     if centered and mf > 1:
         corr = (
@@ -84,6 +90,7 @@ def _terminal_pass(model: PicardModel, params, x, t, key, mc: int):
     (reference solvers/MLP.py:167-203), chunked over the MC axis."""
     B = x.shape[0]
     dim = model.dim
+    pd = jnp.dtype(model.path_dtype)
     dT = (model.T - t)[:, None]
     u_sum = jnp.zeros((B, 1), jnp.float32)
     z_sum = jnp.zeros((B, dim), jnp.float32)
@@ -92,19 +99,19 @@ def _terminal_pass(model: PicardModel, params, x, t, key, mc: int):
     while done < mc:
         cur = min(_TERMINAL_MC_CHUNK, mc - done)
         key, sub = jax.random.split(key)
-        xi = jax.random.normal(sub, (B, cur, dim), jnp.float32)
+        xi = jax.random.normal(sub, (B, cur, dim), pd)
         XT = (
             x[:, None, :]
             + model.mu * dT[..., None]
             + model.sigma * jnp.sqrt(dT)[..., None] * xi
         )
         xt_T = jnp.concatenate(
-            [XT, jnp.full((B, cur, 1), model.T, jnp.float32)], axis=2
-        ).reshape(-1, dim + 1)
-        gv = model.g(params, xt_T).reshape(B, cur)
+            [XT, jnp.full((B, cur, 1), model.T, XT.dtype)], axis=2
+        ).reshape(-1, dim + 1).astype(jnp.float32)
+        gv = model.g(params, xt_T).reshape(B, cur).astype(jnp.float32)
         u_sum = u_sum + jnp.sum(gv, axis=1, keepdims=True)
-        z_sum = z_sum + jnp.sum(gv[..., None] * xi, axis=1)
-        xi_sum = xi_sum + jnp.sum(xi, axis=1)
+        z_sum = z_sum + jnp.sum(gv[..., None] * xi, axis=1)  # f32 accumulate
+        xi_sum = xi_sum + jnp.sum(xi.astype(jnp.float32), axis=1)
         done += cur
     u = u_sum / mc
     if model.terminal_z == "corrected":
@@ -129,6 +136,7 @@ def build_quadrature_uz(
     (semantics of reference solvers/MLP.py:141-274 / ScaSML.py:149-284)."""
     Mf, Mg, Q, c, w = tables
     T, dim = model.T, model.dim
+    pd = jnp.dtype(model.path_dtype)
 
     def uz(lvl: int, x_t, key, params):
         B = x_t.shape[0]
@@ -154,8 +162,10 @@ def build_quadrature_uz(
             key, kl = jax.random.split(key)
             kks = jax.random.split(kl, q)
 
-            X0 = jnp.broadcast_to(x[:, None, :], (B, mf, dim)).astype(jnp.float32)
-            W0 = jnp.zeros((B, mf, dim), jnp.float32)
+            # Brownian path carries in the storage dtype (PrecisionPolicy.
+            # rollout); the per-step updates compute in f32 and round once.
+            X0 = jnp.broadcast_to(x[:, None, :], (B, mf, dim)).astype(pd)
+            W0 = jnp.zeros((B, mf, dim), pd)
 
             def step(carry, inp):
                 X, W, u, z = carry
@@ -163,10 +173,18 @@ def build_quadrature_uz(
                 dW = jnp.sqrt(dt_k)[:, None, None] * jax.random.normal(
                     kk, (B, mf, dim), jnp.float32
                 )
-                W = W + dW
-                X = X + model.mu * dt_k[:, None, None] + model.sigma * dW
+                W = (W.astype(jnp.float32) + dW).astype(pd)
+                X = (
+                    X.astype(jnp.float32)
+                    + model.mu * dt_k[:, None, None]
+                    + model.sigma * dW
+                ).astype(pd)
                 xt_k = jnp.concatenate(
-                    [X, jnp.broadcast_to(c_k[:, None, None], (B, mf, 1))], axis=2
+                    [
+                        X.astype(jnp.float32),
+                        jnp.broadcast_to(c_k[:, None, None], (B, mf, 1)),
+                    ],
+                    axis=2,
                 ).reshape(-1, dim + 1)
                 denom = (c_k - t + 1e-6)[:, None]
 
@@ -218,6 +236,7 @@ def build_full_history_uz(
         u += (T-t) mean y,   z += (T-t) mean(y * xi / sqrt(tau (T-t) + 1e-6)).
     """
     T, dim = model.T, model.dim
+    pd = jnp.dtype(model.path_dtype)
 
     def uz(lvl: int, x_t, key, params):
         B = x_t.shape[0]
@@ -242,11 +261,11 @@ def build_full_history_uz(
                 tau = v
                 wgt = jnp.ones((B, mf, 1), jnp.float32)
             ts = (tau * dT)[..., None]                       # (B, mf, 1)
-            xi = jax.random.normal(kxi, (B, mf, dim), jnp.float32)
+            xi = jax.random.normal(kxi, (B, mf, dim), pd)
             X = x[:, None, :] + model.mu * ts + model.sigma * jnp.sqrt(ts) * xi
             xt_k = jnp.concatenate([X, t[:, None, None] + ts], axis=2).reshape(
                 -1, dim + 1
-            )
+            ).astype(jnp.float32)
             inv_sqrt = 1.0 / jnp.sqrt(ts + 1e-6)             # (B, mf, 1)
 
             eta = xi * inv_sqrt * wgt                        # (B, mf, dim)

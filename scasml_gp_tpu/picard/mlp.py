@@ -32,8 +32,17 @@ class _PicardBase:
 
     def __init__(self, equation: Equation, batch_chunk: Optional[int] = None,
                  center_z: Optional[bool] = None,
-                 time_sampling: Optional[str] = None):
+                 time_sampling: Optional[str] = None,
+                 precision=None, mesh=None):
         self.equation = equation
+        # PrecisionPolicy.rollout -> Brownian path storage dtype (bf16 opt-in)
+        from scasml_gp_tpu.config import PrecisionPolicy
+
+        self.precision = precision or PrecisionPolicy()
+        # Optional jax.sharding.Mesh: the test batch is placed sharded over
+        # the 'data' axis; each chip rolls out its shard's sample tree with
+        # zero cross-chip traffic (SURVEY §2 X2).
+        self.mesh = mesh
         # centered (control-variate) z estimators; default comes from the
         # equation (gradient-quadratic generators like HJB need them)
         self.center_z = (
@@ -74,6 +83,7 @@ class _PicardBase:
             center_z=self.center_z,
             time_sampling=self.time_sampling,
             terminal_z=self.terminal_z,
+            path_dtype=self.precision.rollout,
         )
 
     def _build(self, schedule_key: Tuple) -> Callable:
@@ -90,9 +100,21 @@ class _PicardBase:
         self.key, sub = jax.random.split(self.key)
         return sub
 
+    def _shard_batch(self, x_t):
+        """Place the batch sharded over the mesh's 'data' axis (replicated
+        fallback when the batch doesn't divide the axis)."""
+        from scasml_gp_tpu.parallel.mesh import batch_sharding
+
+        n_data = self.mesh.shape["data"]
+        if x_t.shape[0] % n_data:
+            return x_t
+        return jax.device_put(x_t, batch_sharding(self.mesh))
+
     def _run(self, schedule_key: Tuple, x_t) -> jax.Array:
         """Run the compiled rollout, chunking the batch to bound HBM."""
         x_t = jnp.asarray(x_t, jnp.float32)
+        if self.mesh is not None:
+            x_t = self._shard_batch(x_t)
         fn = self._get_fn(schedule_key)
         params = self._params()
         B = x_t.shape[0]

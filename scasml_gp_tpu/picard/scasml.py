@@ -39,9 +39,10 @@ from scasml_gp_tpu.picard.schedule import (
 
 class _ScaSMLBase(_PicardBase):
     def __init__(self, equation, gp: GP, batch_chunk=None, center_z=None,
-                 time_sampling=None):
+                 time_sampling=None, precision=None, mesh=None):
         super().__init__(equation, batch_chunk=batch_chunk,
-                         center_z=center_z, time_sampling=time_sampling)
+                         center_z=center_z, time_sampling=time_sampling,
+                         precision=precision, mesh=mesh)
         self.GP = gp
         self.eval_chunk = gp.eval_chunk
 
@@ -96,6 +97,7 @@ class _ScaSMLBase(_PicardBase):
             center_z=self.center_z,
             time_sampling=self.time_sampling,
             terminal_z=self.terminal_z,
+            path_dtype=self.precision.rollout,
         )
 
     def _u_hat(self, x_t) -> jax.Array:
