@@ -54,12 +54,35 @@ def main():
     rel = np.linalg.norm(np.asarray(u).ravel() - exact) / np.linalg.norm(exact)
     err(f"ScaSML quad d=20 rel_L2: {rel:.4f} (reference: 0.0701, GP alone 0.1466)")
 
-    reps = 20
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        u = solver.u_solve(2, 2, x_test)
-    jax.block_until_ready(u)
-    t = (time.perf_counter() - t0) / reps
+    # Steady-state timing of the FULL u_solve = rollout + posterior + add as
+    # one composed program, measured with the in-graph chained-loop protocol
+    # (utils/timing.device_loop_time).  The enqueue-N-sync-once protocol
+    # under-reports through the device relay and per-call sync adds ~20 ms of
+    # host round trip — see reports/posterior_probe.md.
+    from scasml_gp_tpu.gp.posterior import posterior_eval
+    from scasml_gp_tpu.utils.timing import device_loop_time
+
+    uz_fn = solver._get_fn((2, 2))
+    state = solver._params()
+    key = jax.random.PRNGKey(7)
+
+    def full_solve(xt):
+        uz = uz_fn(xt, key, state)
+        u_hat = posterior_eval(
+            xt, state.x_dom, state.x_bdy, state.right_vector, state.gamma, d
+        ).u[:, None]
+        return u_hat + uz[:, :1]
+
+    t = device_loop_time(full_solve, x_test, iters=16, reps=3)
+
+    # MFU/roofline side table (scripts/mfu.py), if recorded on this machine
+    try:
+        with open("reports/mfu.json") as fh:
+            mfu = json.load(fh)
+        for row in mfu["paths"]:
+            err("mfu:", json.dumps(row))
+    except Exception:
+        pass
 
     baseline_s = 353.1  # reference wall-clock for the same solve (BASELINE.md)
     print(

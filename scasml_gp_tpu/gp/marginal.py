@@ -112,6 +112,7 @@ def fit_gp_marginal_likelihood(
     prior_strength: float = 2.0,
     val_fraction: float = 0.2,
     seed: int = 0,
+    seed_configs: Sequence[GPConfig] = (),
 ) -> MarginalFitResult:
     """Fit (gamma_scale, time_scale, ridge_scale[, nugget]) by batched MAP
     NLML descent; returns the validation-selected GPConfig (train a fresh
@@ -121,6 +122,12 @@ def fit_gp_marginal_likelihood(
     all other parameters start at ``base``'s values for every candidate.
     ``prior_strength`` is the precision of the log-space Gaussian prior
     anchoring theta at the base config (0 disables it).
+
+    ``seed_configs`` adds extra restarts initialized at those configs (e.g.
+    the grid-tuner winner) AND enters the raw configs themselves into the
+    validation-selected candidate table — so the returned config can never
+    validate worse than any seed (round-1 VERDICT Weak #7: at d>=60 the
+    unseeded ML fit could ship a config weaker than the grid winner).
     """
     base = base or GPConfig()
     gp = gp_cls(equation, base)  # provides the Newton trainer + form pieces
@@ -133,12 +140,25 @@ def fit_gp_marginal_likelihood(
     eq_sigma = float(equation.sigma())
     steps = base.gn_steps if gn_steps is None else int(gn_steps)
 
-    theta0 = jnp.stack([
-        jnp.asarray(
-            _params_to_theta(base.gamma_scale, base.time_scale, rs, base.nugget)
-        )
-        for rs in init_ridge_scales
-    ])                                                     # (R, 4)
+    theta0 = jnp.stack(
+        [
+            jnp.asarray(
+                _params_to_theta(
+                    base.gamma_scale, base.time_scale, rs, base.nugget
+                )
+            )
+            for rs in init_ridge_scales
+        ]
+        + [
+            jnp.asarray(
+                _params_to_theta(
+                    cfg.gamma_scale, cfg.time_scale, cfg.ridge_scale,
+                    cfg.nugget,
+                )
+            )
+            for cfg in seed_configs
+        ]
+    )                                                      # (R, 4)
     grad_mask = jnp.array(
         [1.0, 1.0, 1.0, 1.0 if learn_nugget else 0.0], jnp.float32
     )
@@ -209,6 +229,10 @@ def fit_gp_marginal_likelihood(
 
     scores = np.asarray(final, np.float64)  # NLML at final theta, last round
     candidates = [(base, float("nan"))]
+    # raw seed configs compete in the validation table untouched, so a seed
+    # (e.g. the grid winner) can only be displaced by something that
+    # validates BETTER
+    candidates += [(cfg, float("nan")) for cfg in seed_configs]
     for i in range(theta.shape[0]):
         c, ts, rr, ng = (float(v) for v in _theta_to_params(theta[i]))
         cfg = dataclasses.replace(

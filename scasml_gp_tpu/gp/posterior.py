@@ -169,30 +169,24 @@ def select_posterior_fn(backend: str, dim: int):
     """Pick the posterior implementation.
 
     'xla' -> :func:`posterior_eval`; 'pallas' -> the hand-tiled VMEM kernel
-    (:mod:`scasml_gp_tpu.gp.pallas_posterior`); 'auto' -> on TPU, dispatch
-    per call: pallas for d+1 >= 64 OR eval batches > 8192 points (measured
-    crossovers, scripts/pallas_bench.py — the XLA chunked path degrades
-    badly at very large n), else XLA.
+    (:mod:`scasml_gp_tpu.gp.pallas_posterior`); 'auto' -> XLA.
+
+    'auto' used to dispatch to pallas for d+1 >= 64 or n > 8192, based on
+    round-1 measurements taken with a host-side timing protocol that the
+    remote-device relay silently broke (async under-reporting + one
+    eager-recompile outlier) AND whose reduction let XLA dead-code-eliminate
+    most of the compared work.  Re-measured with in-graph chained-loop timing
+    (utils/timing.device_loop_time, scripts/pallas_bench.py), the XLA fused
+    path is 2-3x FASTER than the pallas kernel in every regime (d in
+    {20,100,250} x n in {1200,8192,65536} x {mean,all}), so 'auto' is XLA;
+    see reports/posterior_probe.md for the full attribution.
     """
-    if backend == "xla":
+    if backend in ("xla", "auto"):
         return posterior_eval
     from scasml_gp_tpu.gp.pallas_posterior import posterior_eval_fused
 
     if backend == "pallas":
         return posterior_eval_fused
-    if backend == "auto":
-        if jax.default_backend() == "cpu":
-            return posterior_eval
-
-        def _auto(x, *args, **kw):
-            fn = (
-                posterior_eval_fused
-                if (dim + 1 >= 64 or x.shape[0] > 8192)
-                else posterior_eval
-            )
-            return fn(x, *args, **kw)
-
-        return _auto
     raise ValueError(f"unknown posterior backend {backend!r}")
 
 

@@ -184,13 +184,24 @@ def main(argv=None):
             )
             if args.fit_ml:
                 from scasml_gp_tpu.gp.marginal import fit_gp_marginal_likelihood
+                from scasml_gp_tpu.gp.tuning import tune_gp
 
+                # Seed the ML restarts from the grid winner (and keep it in
+                # the candidate table), so --fit-ml can never ship a config
+                # that validates worse than the grid recommendation.
+                grid = tune_gp(
+                    GP_CLASSES[config.equation], eq, x_dom, x_bdy,
+                    base=config.gp,
+                    ridge_scales=(0.0, 10.0, 30.0, 100.0),
+                )
                 result = fit_gp_marginal_likelihood(
                     GP_CLASSES[config.equation], eq, x_dom, x_bdy,
                     base=config.gp,
+                    seed_configs=(grid.config,),
                 )
                 print(f"ML-fitted GP config: {result.config} "
-                      f"(NLML {result.nlml:.1f})", file=sys.stderr)
+                      f"(NLML {result.nlml:.1f}; grid seed "
+                      f"{grid.config.ridge_scale})", file=sys.stderr)
             else:
                 from scasml_gp_tpu.gp.tuning import tune_gp
 

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from scasml_gp_tpu.utils.timing import device_loop_time
+
 # (bf16 peak TFLOP/s, HBM GB/s) per chip family. fp32 elementwise work runs on
 # the VPU, far below these numbers; the MXU matmuls here are fp32-accumulating
 # with fp32 operands, for which the practical ceiling is ~1/2 the bf16 peak
@@ -46,6 +48,8 @@ def chip_peaks():
 
 
 def synced_time(fn, *args, reps=8, **kw):
+    """Strict per-call sync — ONLY for >=100 ms work where the ~20 ms relay
+    round trip is negligible; sub-ms kernels use device_loop_time."""
     jax.block_until_ready(fn(*args, **kw))
     ts = []
     for _ in range(reps):
@@ -82,6 +86,7 @@ def entry(name, t_s, flops, bytes_, peak_tf, peak_bw):
 
 def posterior_case(n, N, Nb, d, peak_tf, peak_bw):
     from scasml_gp_tpu.gp.pallas_posterior import posterior_eval_fused
+    from scasml_gp_tpu.gp.posterior import posterior_eval
 
     ks = jax.random.split(jax.random.PRNGKey(0), 4)
     x = jax.random.uniform(ks[0], (n, d + 1), minval=-0.5, maxval=0.5)
@@ -90,8 +95,6 @@ def posterior_case(n, N, Nb, d, peak_tf, peak_bw):
     r = jax.random.normal(ks[3], (4 * N + Nb,)) * 0.1
     gamma = jnp.array([1.0 / (0.0625 * d)] * 2 + [0.0], jnp.float32)
 
-    t = synced_time(posterior_eval_fused, x, x_dom, x_bdy, r, gamma, d,
-                    want_grad=True, want_ops=True)
     fp = -(-(d + 1) // 128) * 128          # feature dim padded to 128
     ti, tj = 256, 512
     n_pad = -(-n // ti) * ti
@@ -104,8 +107,19 @@ def posterior_case(n, N, Nb, d, peak_tf, peak_bw):
         + (n_pad // ti) * N_pad * (fp + 128)  # y + r tiles per i-row
         + 8 * n_pad + 2 * n_pad * fp     # ops8 + two gradient accumulators
     )
-    return entry(f"posterior_pallas(n={n},N={N},d={d})", t, flops, bytes_,
-                 peak_tf, peak_bw)
+
+    rows = []
+    for name, fn in (
+        ("xla", lambda xx: posterior_eval(
+            xx, x_dom, x_bdy, r, gamma, d, want_grad=True, want_ops=True,
+            chunk=8192)),
+        ("pallas", lambda xx: posterior_eval_fused(
+            xx, x_dom, x_bdy, r, gamma, d, want_grad=True, want_ops=True)),
+    ):
+        t = device_loop_time(fn, x, iters=16)
+        rows.append(entry(f"posterior_{name}(n={n},N={N},d={d})", t, flops,
+                          bytes_, peak_tf, peak_bw))
+    return rows
 
 
 def gram_case(N, Nb, d, peak_tf, peak_bw):
@@ -117,15 +131,23 @@ def gram_case(N, Nb, d, peak_tf, peak_bw):
     gamma = jnp.asarray([1.0 / (0.0625 * d)] * 2 + [0.0], jnp.float32)
     phi = 4 * N + Nb
 
-    t_g = synced_time(gram_matrix, x_dom, x_bdy, gamma, d)
+    t_g = device_loop_time(
+        lambda xd: gram_matrix(xd, x_bdy, gamma, d), x_dom, iters=256
+    )
     pair_rows = (N + Nb) ** 2
     flops_g = 2 * pair_rows * (d + 1) + 25 * 10 * pair_rows
     bytes_g = 4 * (phi * phi + (N + Nb) * (d + 1) * 2)  # K write dominates
+    # NOTE: in the timing loop the consumer is a reduction, so XLA may fuse
+    # the assembly into it and skip materializing K — bw_util can read >1
+    # against this byte count; production (factorization consumer) writes K.
     g_entry = entry(f"gram_assembly(N={N},Nb={Nb},d={d})", t_g, flops_g,
                     bytes_g, peak_tf, peak_bw)
 
     K = gram_matrix(x_dom, x_bdy, gamma, d)
-    t_f = synced_time(regularized_factorization, K, jnp.float32(1e-2))
+    t_f = device_loop_time(
+        lambda KK: regularized_factorization(KK, jnp.float32(1e-2))[1],
+        K, iters=8,
+    )
     # cholesky (phi^3/3) + 3 jittered retries + triangular solve w/ phi rhs
     # (phi^3/2) + Minv matmul (phi^3) , x2 flops per MAC
     flops_f = 2 * (3 * phi**3 / 3 + phi**3 / 2 + phi**3)
@@ -151,7 +173,7 @@ def rollout_case(B, d, n, M, peak_tf, peak_bw):
     fn = sca._get_fn((n, M))
     params = sca._params()
     key = jax.random.PRNGKey(2)
-    t = synced_time(fn, x_t, key, params)
+    t = device_loop_time(lambda xt: fn(xt, key, params), x_t, iters=4)
 
     # dominant work: GP posterior evals at every tree node; count rows from
     # the schedule counters (per-point f/g evaluations)
@@ -175,9 +197,9 @@ def main():
     print(f"device: {kind} peaks: {peak_tf} TF/s {peak_bw} GB/s",
           file=sys.stderr, flush=True)
     rows = [
-        posterior_case(8192, 1000, 200, 20, peak_tf, peak_bw),
-        posterior_case(65536, 1000, 200, 20, peak_tf, peak_bw),
-        posterior_case(8192, 1000, 200, 100, peak_tf, peak_bw),
+        *posterior_case(8192, 1000, 200, 20, peak_tf, peak_bw),
+        *posterior_case(65536, 1000, 200, 20, peak_tf, peak_bw),
+        *posterior_case(8192, 1000, 200, 100, peak_tf, peak_bw),
         *gram_case(1000, 200, 20, peak_tf, peak_bw),
         rollout_case(1200, 20, 2, 3, peak_tf, peak_bw),
     ]

@@ -120,3 +120,24 @@ def test_fit_improves_nlml_and_error(data):
     err_ref = rel_l2(base)
     err_fit = rel_l2(dataclasses.replace(cfg, gn_steps=8))
     assert err_fit < err_ref * 1.25, (err_fit, err_ref)
+
+
+def test_fit_with_seed_configs_never_worse_than_seed(data):
+    """Seeding from a grid winner (VERDICT r1 #8): the seed config competes
+    untouched in the validation table, so the returned config's validation
+    score is <= the seed's."""
+    eq, x_dom, x_bdy = data
+    base = GPConfig(gn_steps=8)
+    seed_cfg = dataclasses.replace(base, ridge_scale=10.0)
+    result = fit_gp_marginal_likelihood(
+        GPGradDependentNonlinear, eq, x_dom, x_bdy, base=base,
+        init_ridge_scales=(0.0,), outer_rounds=1, inner_steps=6,
+        gn_steps=8, seed_configs=(seed_cfg,),
+    )
+    # table = base + seed + (1 grid restart + 1 seeded restart)
+    assert len(result.table) == 4
+    assert result.table[1][0] == seed_cfg
+    seed_score = result.table[1][2]
+    shipped = [r[2] for r in result.table if r[0] == result.config][0]
+    assert np.isfinite(seed_score)
+    assert shipped <= seed_score
