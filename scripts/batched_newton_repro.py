@@ -33,12 +33,18 @@ def child(batch: int) -> None:
     from scasml_gp_tpu.equations import GradDependentNonlinear
     from scasml_gp_tpu.gp import GPGradDependentNonlinear
 
+    # progress markers discriminate a relay/client wedge (hang before
+    # 'data ready') from the batched-program fault (hang after 'executing')
+    print("phase: client init", flush=True)
+    print("devices:", jax.devices(), flush=True)
     eq = GradDependentNonlinear(n_input=DIM + 1)
     base = GPConfig(gn_steps=GN_STEPS)
     gp = GPGradDependentNonlinear(eq, base)
     x_dom, x_bdy = eq.generate_data(N_DOM, N_BDY, key=jax.random.PRNGKey(0))
     bdy_g = eq.g(x_bdy)[:, 0].astype(jnp.float32)
     rhs = gp.form.rhs_f(x_dom).astype(jnp.float32)
+    jax.block_until_ready(rhs)
+    print("phase: data ready", flush=True)
 
     gammas = jnp.stack([
         jnp.asarray(gp.gamma, jnp.float32) * (1.0 + 0.1 * i)
@@ -61,6 +67,7 @@ def child(batch: int) -> None:
         fh.write(lowered.as_text())
     print(f"HLO dumped: {hlo_path}", flush=True)
 
+    print("phase: executing", flush=True)
     out = jax.block_until_ready(batched(gammas, nuggets))
     finite = bool(jnp.all(jnp.isfinite(out)))
     print(json.dumps({"batch": batch, "finite": finite,
@@ -72,25 +79,34 @@ def main() -> None:
         child(int(sys.argv[2]))
         return
 
+    batches = [int(b) for b in sys.argv[1:]] or [1, 2, 4, 5, 6, 8]
     results = []
-    for b in (1, 2, 4, 5, 6, 8):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(b)],
-            capture_output=True, text=True, timeout=1200,
-            env=dict(os.environ),
-        )
-        ok = proc.returncode == 0 and '"finite": true' in proc.stdout
+    for b in batches:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child",
+                 str(b)],
+                capture_output=True, text=True, timeout=900,
+                env=dict(os.environ),
+            )
+            rc, out, errtxt = proc.returncode, proc.stdout, proc.stderr
+        except subprocess.TimeoutExpired as e:
+            rc = "timeout"
+            out = (e.stdout or b"").decode() if isinstance(
+                e.stdout, bytes) else (e.stdout or "")
+            errtxt = (e.stderr or b"").decode() if isinstance(
+                e.stderr, bytes) else (e.stderr or "")
+        ok = rc == 0 and '"finite": true' in out
         results.append({
             "batch": b,
-            "returncode": proc.returncode,
+            "returncode": rc,
             "ok": ok,
-            "stdout_tail": proc.stdout.strip().splitlines()[-2:],
-            "stderr_tail": proc.stderr.strip().splitlines()[-3:],
+            "last_phase": ([ln for ln in out.splitlines()
+                            if ln.startswith(("phase:", "HLO"))] or ["none"])[-1],
+            "stdout_tail": out.strip().splitlines()[-2:],
+            "stderr_tail": errtxt.strip().splitlines()[-3:],
         })
         print(json.dumps(results[-1]), flush=True)
-        if not ok:
-            # one confirmed fault is enough; don't hammer a wedged relay
-            break
 
     os.makedirs("reports", exist_ok=True)
     with open("reports/batched_newton_repro.json", "w") as fh:
