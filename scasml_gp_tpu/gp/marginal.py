@@ -159,6 +159,16 @@ def fit_gp_marginal_likelihood(
             for cfg in seed_configs
         ]
     )                                                      # (R, 4)
+    if theta0.shape[0] == 5:
+        # The TPU runtime deterministically kernel-faults the vmapped Newton
+        # trainer at batch size 5 and ONLY 5 (1/2/4/6/8 all pass; bisected to
+        # the Newton body's batched dense solve — scripts/
+        # batched_newton_repro.py, reports/batched_newton_repro.md).  Dodge
+        # the poisoned batch size with one extra jittered restart.
+        theta0 = jnp.concatenate(
+            [theta0, theta0[-1:] + jnp.asarray([[0.05, 0.0, 0.0, 0.0]],
+                                               jnp.float32)]
+        )
     grad_mask = jnp.array(
         [1.0, 1.0, 1.0, 1.0 if learn_nugget else 0.0], jnp.float32
     )

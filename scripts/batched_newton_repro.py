@@ -52,17 +52,47 @@ def child(batch: int) -> None:
     ])
     nuggets = jnp.full((batch,), 1e-2, jnp.float32)
 
-    def one(gamma, nugget):
-        return gp._train_jit(
-            x_dom, x_bdy, bdy_g, rhs, gamma, nugget,
-            steps=GN_STEPS, damping=base.damping, grad_tol=base.grad_tol,
-            init_scale=base.init_scale,
-        ).right_vector
+    op = os.environ.get("REPRO_OP", "full")
+    if op == "factorization":
+        from scasml_gp_tpu.gp.gram import (
+            gram_matrix,
+            regularized_factorization,
+        )
+
+        def one(gamma, nugget):
+            K = gram_matrix(x_dom, x_bdy, gamma, DIM)
+            return regularized_factorization(K, nugget)[1][0]
+    elif op == "newton":
+        from scasml_gp_tpu.gp.gram import gram_matrix
+
+        # factor ONE C outside the vmap; vmap only the Newton body
+        K0 = gram_matrix(x_dom, x_bdy, jnp.asarray(gp.gamma, jnp.float32),
+                         DIM)
+        from scasml_gp_tpu.gp.gram import regularized_factorization
+
+        _, C0 = regularized_factorization(K0, jnp.float32(1e-2))
+        C0 = jax.block_until_ready(C0)
+
+        def one(gamma, nugget):
+            # gamma only perturbs the rhs so each lane differs
+            return gp._train_from_C(
+                C0, bdy_g * (1.0 + 0.0 * gamma[0]), rhs,
+                steps=GN_STEPS, damping=base.damping,
+                grad_tol=base.grad_tol, init_scale=base.init_scale,
+            ).right_vector
+    else:
+        def one(gamma, nugget):
+            return gp._train_jit(
+                x_dom, x_bdy, bdy_g, rhs, gamma, nugget,
+                steps=GN_STEPS, damping=base.damping, grad_tol=base.grad_tol,
+                init_scale=base.init_scale,
+            ).right_vector
 
     batched = jax.jit(jax.vmap(one))
     lowered = batched.lower(gammas, nuggets)
     os.makedirs("results", exist_ok=True)
-    hlo_path = f"results/batched_newton_hlo_b{batch}.txt"
+    suffix = "" if op == "full" else f"_{op}"
+    hlo_path = f"results/batched_newton_hlo_b{batch}{suffix}.txt"
     with open(hlo_path, "w") as fh:
         fh.write(lowered.as_text())
     print(f"HLO dumped: {hlo_path}", flush=True)
