@@ -48,6 +48,18 @@ class HypercubeGeometry:
         t = jax.random.uniform(kt, (num, 1), dtype=dtype, minval=self.t0, maxval=self.T)
         return jnp.concatenate([x, t], axis=1)
 
+    def sample_terminal(self, key: jax.Array, num: int, dtype=jnp.float32) -> jax.Array:
+        """Uniform points on the terminal surface Ω x {T}, shape (num, dim+1).
+
+        For PDEs posed as pure terminal-value problems (no closed form on the
+        lateral boundary — e.g. HJB, Allen-Cahn), the data surface where
+        u = g holds EXACTLY is t = T, not the lateral boundary."""
+        x = jax.random.uniform(
+            key, (num, self.dim), dtype=dtype, minval=-self.radius, maxval=self.radius
+        )
+        t = jnp.full((num, 1), self.T, dtype=dtype)
+        return jnp.concatenate([x, t], axis=1)
+
     def sample_boundary(self, key: jax.Array, num: int, dtype=jnp.float32) -> jax.Array:
         """Uniform points on the lateral boundary ∂Ω x [t0, T], shape (num, dim+1)."""
         kx, kf, ks, kt = jax.random.split(key, 4)
@@ -84,6 +96,12 @@ class Equation:
         self.radius = 0.5
         self.uncertainty = 1e-1       # ScaSML residual clip (reference :245)
         self.norm_estimation = 1.0    # MLP output clip (reference :246)
+        # Where the GP's "boundary" collocation rows live.  'lateral' =
+        # reference semantics (valid when g(x_t) is the exact solution at any
+        # t, as for GradDependentNonlinear); 'terminal' = the t = T surface,
+        # for terminal-value problems whose lateral trace is unknown
+        # (HJB, Allen-Cahn).
+        self.boundary_mode = "lateral"
 
     # ---- problem functions (pure, batched over rows) ----
     def f(self, x_t: jax.Array, u: jax.Array, z: jax.Array) -> jax.Array:
@@ -141,9 +159,13 @@ class Equation:
             key = jax.random.PRNGKey(0)
         geom = self.geometry()
         kd, kb = jax.random.split(key)
+        sample_bdy = (
+            geom.sample_terminal if self.boundary_mode == "terminal"
+            else geom.sample_boundary
+        )
         return (
             geom.sample_domain(kd, num_domain, dtype=dtype),
-            geom.sample_boundary(kb, num_boundary, dtype=dtype),
+            sample_bdy(kb, num_boundary, dtype=dtype),
         )
 
     def generate_test_data(
@@ -155,7 +177,11 @@ class Equation:
             key = jax.random.PRNGKey(1)
         geom = self.test_geometry()
         kd, kb = jax.random.split(key)
+        sample_bdy = (
+            geom.sample_terminal if self.boundary_mode == "terminal"
+            else geom.sample_boundary
+        )
         return (
             geom.sample_domain(kd, num_domain, dtype=dtype),
-            geom.sample_boundary(kb, num_boundary, dtype=dtype),
+            sample_bdy(kb, num_boundary, dtype=dtype),
         )

@@ -24,14 +24,20 @@ class HJB(Equation):
 
     def __init__(self, n_input: int, n_output: int = 1):
         super().__init__(n_input, n_output)
-        self.uncertainty = 5e-1
-        self.norm_estimation = 10.0
         # -|grad u|^2 is gradient-quadratic: the raw z estimator's variance
         # enters the MEAN of f, so centered estimators are essential
         self.center_z = True
         self.time_sampling = "sqrt"
         self.terminal_z = "corrected"
-        self.norm_estimation = 2.0
+        # |u| grows like ln(|x|^2) ~ ln(d) on the diffusion-reachable set
+        # (g = ln((1+|x|^2)/2), E|x+sigma W|^2 ~ d), so the output clips must
+        # scale with dimension or they truncate the true solution at d >~ 50
+        d = n_input - 1
+        self.norm_estimation = 1.0 + math.log1p(d)
+        self.uncertainty = 0.25 * self.norm_estimation
+        # g(x) is the TERMINAL condition only (no lateral closed form), so
+        # the GP's boundary collocation rows live on the t = T surface.
+        self.boundary_mode = "terminal"
 
     def sigma(self, x_t=0):
         return math.sqrt(2.0)
@@ -47,18 +53,40 @@ class HJB(Equation):
         x = x_t[:, :-1]
         return jnp.log(0.5 * (1.0 + jnp.sum(x * x, axis=1)))[:, None]
 
-    def exact_solution(self, x_t, key=None, num_mc: int = 4096):
+    def exact_solution(self, x_t, key=None, num_mc: int = 4096,
+                       mc_chunk: int = 512):
+        """Cole-Hopf MC: u = -ln E[exp(-g(x + sqrt(2) W_{T-t}))].
+
+        The expectation is accumulated over ``mc_chunk``-sample slices with a
+        running max for the log-mean-exp, so the peak buffer is
+        (n, mc_chunk, d) instead of (n, num_mc, d) — at d=250 the unchunked
+        version would materialize gigabytes."""
         if key is None:
             key = jax.random.PRNGKey(7)
         x = x_t[:, :-1]
         t = x_t[:, -1]
         dt = jnp.maximum(self.T - t, 0.0)
-        w = jax.random.normal(key, (x.shape[0], num_mc, self.dim), dtype=x.dtype)
-        xs = x[:, None, :] + jnp.sqrt(2.0 * dt)[:, None, None] * w
-        g = jnp.log(0.5 * (1.0 + jnp.sum(xs * xs, axis=2)))
-        # log-mean-exp of -g, numerically stabilized
-        m = jnp.max(-g, axis=1, keepdims=True)
-        lme = jnp.log(jnp.mean(jnp.exp(-g - m), axis=1)) + m[:, 0]
+        scale = jnp.sqrt(2.0 * dt)[:, None, None]
+        n_chunks = max(1, -(-num_mc // mc_chunk))
+
+        def body(carry, ck):
+            m, acc = carry
+            w = jax.random.normal(
+                ck, (x.shape[0], mc_chunk, self.dim), dtype=x.dtype
+            )
+            xs = x[:, None, :] + scale * w
+            neg_g = -jnp.log(0.5 * (1.0 + jnp.sum(xs * xs, axis=2)))
+            m_new = jnp.maximum(m, jnp.max(neg_g, axis=1))
+            acc = acc * jnp.exp(m - m_new) + jnp.sum(
+                jnp.exp(neg_g - m_new[:, None]), axis=1
+            )
+            return (m_new, acc), None
+
+        init = (jnp.full((x.shape[0],), -jnp.inf, x.dtype),
+                jnp.zeros((x.shape[0],), x.dtype))
+        keys = jax.random.split(key, n_chunks)
+        (m, acc), _ = jax.lax.scan(body, init, keys)
+        lme = jnp.log(acc / (n_chunks * mc_chunk)) + m
         return (-lme)[:, None]
 
 
@@ -70,6 +98,7 @@ class AllenCahn(Equation):
         self.T = 0.3
         self.uncertainty = 5e-1
         self.norm_estimation = 2.0
+        self.boundary_mode = "terminal"  # u = g holds exactly only at t = T
 
     def sigma(self, x_t=0):
         return math.sqrt(2.0)

@@ -19,6 +19,7 @@ from scasml_gp_tpu.gp.marginal import (
     MarginalFitResult,
     fit_gp_marginal_likelihood,
 )
+from scasml_gp_tpu.gp.cole_hopf import GPHJBColeHopf
 from scasml_gp_tpu.gp.posterior import PosteriorOut, posterior_eval
 from scasml_gp_tpu.gp.solver import (
     GP,
@@ -54,6 +55,7 @@ __all__ = [
     "AllenCahnForm",
     "GPGradDependentNonlinear",
     "GPAllenCahn",
+    "GPHJBColeHopf",
     "GPState",
     "load_state",
     "save_state",

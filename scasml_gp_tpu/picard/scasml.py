@@ -54,15 +54,10 @@ class _ScaSMLBase(_PicardBase):
     def _model(self) -> PicardModel:
         eq = self.equation
         dim = self.dim
-        form = self.GP.form
-        chunk = self.eval_chunk
-        posterior_eval = self.GP._posterior
+        gp = self.GP  # posterior_u/residual_u are pure in (params, x_t)
 
         def f_breve(params, x_t, u_breve, z_breve):
-            out = posterior_eval(
-                x_t, params.x_dom, params.x_bdy, params.right_vector,
-                params.gamma, dim, want_grad=True, chunk=chunk,
-            )
+            out = gp.posterior_u(params, x_t, want_grad=True)
             u_hat = out.u[:, None]
             grad_sp = out.grad[:, :-1]  # spatial part (reference ScaSML.py:44)
             sig = eq.sigma(x_t)
@@ -71,19 +66,10 @@ class _ScaSMLBase(_PicardBase):
             return val1 - val2
 
         def g_breve(params, x_t):
-            out = posterior_eval(
-                x_t, params.x_dom, params.x_bdy, params.right_vector,
-                params.gamma, dim, chunk=chunk,
-            )
-            return eq.g(x_t) - out.u[:, None]
+            return eq.g(x_t) - gp.posterior_u(params, x_t).u[:, None]
 
         def leaf(params, x_t):
-            out = posterior_eval(
-                x_t, params.x_dom, params.x_bdy, params.right_vector,
-                params.gamma, dim, want_ops=True, chunk=chunk,
-            )
-            eps = form.residual(x_t, out.u, out.dt_u, out.div_u, out.lap_u)
-            return eps[:, None]
+            return gp.residual_u(params, x_t)
 
         return PicardModel(
             f=f_breve,
