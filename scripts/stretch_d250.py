@@ -125,7 +125,11 @@ def leg_tpu():
     print(f"HJB GP fit (m=2000): {t_train:.2f}s", flush=True)
 
     x_test = eq.geometry().sample_domain(jax.random.PRNGKey(6), 256)
-    exact, t_exact = _timed(eq.exact_solution, x_test, num_mc=32768)
+    # jit the whole MC oracle into ONE program: evaluated eagerly it issues
+    # dozens of per-op relay round-trips, which intermittently wedge the
+    # axon tunnel (CLAUDE.md "Environment gotchas")
+    exact_fn = jax.jit(lambda xs: eq.exact_solution(xs, num_mc=32768))
+    exact, t_exact = _timed(exact_fn, x_test)
     exact = np.asarray(exact)
     print(f"Cole-Hopf MC exact (32768 samples): {t_exact:.2f}s", flush=True)
 
@@ -141,12 +145,29 @@ def leg_tpu():
     rel_sca = _rel(np.asarray(u_sca), exact)
     # a second call reuses the compiled rollout: steady-state wall-clock
     _, t_sca2 = _timed(sca.u_solve, 2, None, x_test, M=8)
+    # M=32: the correction's MC variance at the converged-surrogate floor
+    u_sca32, _ = _timed(sca.u_solve, 2, None, x_test, M=32)
+    rel_sca32 = _rel(np.asarray(u_sca32), exact)
+
+    # coarse-surrogate repair regime: ScaSML's actual value proposition
+    gp_c = GPHJBColeHopf(eq, GPConfig())
+    xdc, xbc = eq.generate_data(120, 30, key=jax.random.PRNGKey(30))
+    gp_c.GPsolver(xdc, xbc)
+    rel_gp_c = _rel(np.asarray(gp_c.predict(x_test)), exact)
+    sca_c = ScaSMLFullHistory(eq, gp_c)
+    u_sca_c, _ = _timed(sca_c.u_solve, 2, None, x_test, M=8)
+    rel_sca_c = _rel(np.asarray(u_sca_c), exact)
 
     results["hjb"] = {
         "pde": "HJB u_t + Lap u - |grad u|^2 = 0, d=250, T=0.5",
         "surrogate": "Cole-Hopf semigroup GP, m=2000 terminal centers",
         "n": 2, "M": 8, "test_points": 256,
-        "rel_L2": {"GP": rel_gp, "MLP": rel_mlp, "ScaSML": rel_sca},
+        "rel_L2": {"GP": rel_gp, "MLP": rel_mlp, "ScaSML": rel_sca,
+                   "ScaSML_M32": rel_sca32},
+        "repair_regime": {
+            "GP_coarse_m150": rel_gp_c,
+            "ScaSML_on_coarse": rel_sca_c,
+        },
         "improvement_vs_best_baseline_pct": 100.0
         * (min(rel_gp, rel_mlp) - rel_sca) / min(rel_gp, rel_mlp),
         "wallclock_s": {
