@@ -154,6 +154,36 @@ def test_hjb_gp_scasml_pipeline():
     assert rel_sca < rel_mlp, (rel_sca, rel_mlp)
 
 
+def test_hjb_gp_scasml_quadrature():
+    """Quadrature-variant ScaSML on HJB: the Gauss-Legendre rollout must
+    compile with the semigroup surrogate's posterior traced inside it and
+    stay finite/stable.
+
+    It is NOT expected to repair the surrogate the way full-history does
+    (0.45 -> 0.16 above): the quadrature z estimator divides by (c_k - t)
+    at nodes arbitrarily close to t (reference solvers/MLP.py:245 semantics),
+    and the gradient-QUADRATIC HJB generator turns that z variance into bias
+    — the same mechanism as the uniform-time 1/sqrt(tau) divergence that
+    `time_sampling='sqrt'` fixes for the full-history variant (equations/
+    extra.py). Full-history is the supported ScaSML configuration for
+    gradient-quadratic generators; measured here quadrature lands at ~1.05x
+    the GP error (neutral), not catastrophic."""
+    from scasml_gp_tpu.picard import ScaSML
+
+    eq = HJB(n_input=D + 1)
+    gp = GPHJBColeHopf(eq, GPConfig(gn_steps=6))
+    x_dom, x_bdy = eq.generate_data(80, 20, key=jax.random.PRNGKey(30))
+    gp.GPsolver(x_dom, x_bdy)
+    x_test = eq.geometry().sample_domain(jax.random.PRNGKey(6), 96)
+    exact = np.asarray(eq.exact_solution(x_test, num_mc=16384))
+
+    rel_gp = _rel(np.asarray(gp.predict(x_test)), exact)
+    u_sca = np.asarray(ScaSML(eq, gp).u_solve(2, 2, x_test))
+    assert np.isfinite(u_sca).all()
+    rel_sca = _rel(u_sca, exact)
+    assert rel_sca < 1.3 * rel_gp, (rel_sca, rel_gp)
+
+
 def test_hjb_mlp_vs_cole_hopf():
     eq = HJB(n_input=D + 1)
     x = jax.random.uniform(jax.random.PRNGKey(2), (64, D), minval=-0.5,
