@@ -91,11 +91,14 @@ class GPConfig:
     # attributed bias-by-bias (VERDICT.md Next-round #1).
     parity_fp16: bool = False
     # Chunk size bounding the (chunk x phi_dim) posterior buffers on the hot
-    # path (HBM knob). None auto-sizes from the training-set size.
+    # path (HBM knob). None means the default of 4096 rows per block
+    # (gp/solver.py), which keeps the biggest intermediate under ~80 MB at
+    # the reference training sizes.
     eval_chunk: Optional[int] = None
     # Posterior evaluation backend: 'xla' (fused-by-compiler), 'pallas'
-    # (hand-tiled VMEM kernel, gp/pallas_posterior.py), or 'auto' (pallas on
-    # TPU for high-dimensional problems where it measures faster).
+    # (hand-tiled VMEM kernel, gp/pallas_posterior.py), or 'auto' (= 'xla':
+    # the XLA fused path measured 2-3x faster than the pallas kernel in every
+    # regime with honest in-graph timing; reports/posterior_probe.md).
     posterior_backend: str = "auto"
 
 
@@ -108,6 +111,12 @@ class PicardConfig:
     M: int = 3                      # sample base (full-history variant)
     variant: str = "quadrature"     # 'quadrature' | 'full_history'
     batch_chunk: Optional[int] = None  # chunk the test batch to bound memory
+    # Debug mode: instrument the compiled rollout with jax.experimental.
+    # checkify float checks so a non-finite value raises a localized error
+    # (op + source line) instead of silently propagating into the harness
+    # NaN mask (SURVEY.md §5 "Race detection / sanitizers"). Costs extra
+    # in-graph checks; off by default.
+    debug_checks: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

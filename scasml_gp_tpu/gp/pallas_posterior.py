@@ -319,11 +319,16 @@ def posterior_eval_fused(
     want_grad: bool = False,
     want_ops: bool = False,
     chunk: Optional[int] = None,
+    operand_dtype: str = "float32",
 ) -> PosteriorOut:
     """Drop-in replacement for posterior.posterior_eval using the Pallas tile
     kernel for the interior set. ``chunk`` is accepted for API parity; the
-    kernel's own tiling already bounds VMEM, so it is ignored."""
-    del chunk
+    kernel's own tiling already bounds VMEM, so it is ignored.
+    ``operand_dtype`` is likewise accepted for signature parity but the tile
+    kernel keeps fp32 operands: its bottleneck is VMEM-resident elementwise
+    math, not the HBM operand traffic the bf16 policy targets (and the XLA
+    path is the measured-faster default anyway, reports/posterior_probe.md)."""
+    del chunk, operand_dtype
     return _posterior_block_fused(
         x, x_dom, x_bdy, r, jnp.asarray(gamma, jnp.float32), dim,
         want_grad, want_ops,

@@ -50,7 +50,9 @@ def _split_r(r: jax.Array, n_dom: int, n_bdy: int):
     return r1, r2, r3, r4, r5
 
 
-@partial(jax.jit, static_argnames=("dim", "want_grad", "want_ops"))
+@partial(
+    jax.jit, static_argnames=("dim", "want_grad", "want_ops", "operand_dtype")
+)
 def _posterior_block(
     x: jax.Array,
     x_dom: jax.Array,
@@ -60,8 +62,16 @@ def _posterior_block(
     dim: int,
     want_grad: bool,
     want_ops: bool,
+    operand_dtype: str = "float32",
 ) -> PosteriorOut:
-    """Single-pass posterior for one block of evaluation points x (n, d+1)."""
+    """Single-pass posterior for one block of evaluation points x (n, d+1).
+
+    ``operand_dtype`` is PrecisionPolicy.gram: 'bfloat16' feeds the
+    O(n*N*d) cross-distance matmuls bf16 operands with fp32 accumulation —
+    the posterior is the memory-bound #1 hot path, so halving the operand
+    traffic of the pair-statistics matmul is where the policy pays most.
+    All elementwise kernel math and every reduction stay fp32.
+    """
     gs, gt, gr = split_gamma(gamma)
     d = dim
     G = gs + d * gr
@@ -71,8 +81,9 @@ def _posterior_block(
     r1, r2, r3, r4, r5 = _split_r(r.astype(jnp.float32), n_dom, n_bdy)
     x = x.astype(jnp.float32)
 
-    st = pair_stats(x, x_dom, gamma)      # (n, N) statistics vs interior set
-    stb = pair_stats(x, x_bdy, gamma)     # (n, Nb) statistics vs boundary set
+    od = jnp.dtype(operand_dtype)
+    st = pair_stats(x, x_dom, gamma, od)   # (n, N) stats vs interior set
+    stb = pair_stats(x, x_bdy, gamma, od)  # (n, Nb) stats vs boundary set
     k, q, s, dt = st.kappa, st.q, st.s, st.dt
     kb, sb, dtb = stb.kappa, stb.s, stb.dt
     lapf = gs * gs * q + beta * s * s - d * (gs + gr)  # Lap_x kappa / kappa
@@ -191,7 +202,8 @@ def select_posterior_fn(backend: str, dim: int):
 
 
 @partial(
-    jax.jit, static_argnames=("dim", "want_grad", "want_ops", "chunk")
+    jax.jit,
+    static_argnames=("dim", "want_grad", "want_ops", "chunk", "operand_dtype"),
 )
 def posterior_eval(
     x: jax.Array,
@@ -203,6 +215,7 @@ def posterior_eval(
     want_grad: bool = False,
     want_ops: bool = False,
     chunk: Optional[int] = None,
+    operand_dtype: str = "float32",
 ) -> PosteriorOut:
     """Fused posterior over x (n, d+1).
 
@@ -217,14 +230,16 @@ def posterior_eval(
     n = x.shape[0]
     if chunk is None or n <= chunk:
         return _posterior_block(
-            x, x_dom, x_bdy, r, gamma, dim, want_grad, want_ops
+            x, x_dom, x_bdy, r, gamma, dim, want_grad, want_ops,
+            operand_dtype,
         )
     pad = (-n) % chunk
     xp = jnp.pad(x, ((0, pad), (0, 0)))
     xp = xp.reshape(-1, chunk, x.shape[1])
     out = jax.lax.map(
         lambda xc: _posterior_block(
-            xc, x_dom, x_bdy, r, gamma, dim, want_grad, want_ops
+            xc, x_dom, x_bdy, r, gamma, dim, want_grad, want_ops,
+            operand_dtype,
         ),
         xp,
     )

@@ -447,6 +447,7 @@ class GP:
             want_grad=want_grad,
             want_ops=want_ops,
             chunk=self.eval_chunk,
+            operand_dtype=self.precision.gram,
         )
 
     def residual_u(self, params: GPState, x_t) -> jax.Array:

@@ -65,7 +65,8 @@ def build_solvers(config: RunConfig):
         eq, config.gp, precision=config.precision, mesh=mesh
     )
     chunk = config.picard.batch_chunk
-    kw = dict(batch_chunk=chunk, precision=config.precision, mesh=mesh)
+    kw = dict(batch_chunk=chunk, precision=config.precision, mesh=mesh,
+              debug_checks=config.picard.debug_checks)
     if config.picard.variant == "full_history":
         mlp = MLPFullHistory(eq, **kw)
         scasml = ScaSMLFullHistory(eq, gp, **kw)
@@ -117,6 +118,10 @@ def main(argv=None):
     parser.add_argument("--rho", type=int, default=2)
     parser.add_argument("--M", type=int, default=3)
     parser.add_argument("--batch-chunk", type=int, default=None)
+    parser.add_argument("--debug-checks", action="store_true",
+                        help="instrument the rollouts with checkify float "
+                             "checks: a non-finite value raises a localized "
+                             "error instead of propagating to the NaN mask")
     parser.add_argument("--mesh-data", type=int, default=1,
                         help="devices on the 'data' mesh axis (batch/MC "
                              "sharding); -1 = all remaining devices")
@@ -169,6 +174,7 @@ def main(argv=None):
             picard=dataclasses.replace(
                 config.picard, variant=args.variant, rho=args.rho, M=args.M,
                 batch_chunk=args.batch_chunk,
+                debug_checks=args.debug_checks,
             ),
             mesh=MeshConfig(data=args.mesh_data, model=args.mesh_model),
             precision=(

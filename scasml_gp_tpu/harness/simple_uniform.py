@@ -115,6 +115,15 @@ class SimpleUniform(HarnessBase):
             # "positive count of GP_vs_SCaSML, rho=2"
             wb.log({f"{k.replace('_', ' ')} of {pair}, rho={rhomax}": v
                     for k, v in st.items()})
+        if profile_dir is not None:
+            # upload the cProfile dump as an Artifact, matching the
+            # reference's artifact contract (tests/SimpleUniform.py:147-149)
+            import os
+
+            wb.log_artifact(
+                os.path.join(profile_dir, f"SimpleUniform_rho_{rhomax}.prof"),
+                name=f"{type(self.equation).__name__}_rho_{rhomax}_profile",
+            )
         wb.finish()
 
         if make_plots:

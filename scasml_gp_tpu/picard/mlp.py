@@ -33,7 +33,7 @@ class _PicardBase:
     def __init__(self, equation: Equation, batch_chunk: Optional[int] = None,
                  center_z: Optional[bool] = None,
                  time_sampling: Optional[str] = None,
-                 precision=None, mesh=None):
+                 precision=None, mesh=None, debug_checks: bool = False):
         self.equation = equation
         # PrecisionPolicy.rollout -> Brownian path storage dtype (bf16 opt-in)
         from scasml_gp_tpu.config import PrecisionPolicy
@@ -63,6 +63,10 @@ class _PicardBase:
         self.evaluation_counter = 0
         self.key = jax.random.PRNGKey(0)
         self.batch_chunk = batch_chunk
+        # Debug mode: checkify float checks inside the compiled rollout so a
+        # non-finite value raises a LOCALIZED error (op + traceback) instead
+        # of surfacing only as a harness NaN mask (SURVEY §5 sanitizers).
+        self.debug_checks = debug_checks
         self._cache: Dict[Tuple, Callable] = {}
 
     # -- overridden by ScaSML variants --
@@ -93,6 +97,16 @@ class _PicardBase:
         fn = self._cache.get(schedule_key)
         if fn is None:
             fn = jax.jit(self._build(schedule_key))
+            if self.debug_checks:
+                from jax.experimental import checkify
+
+                checked = checkify.checkify(fn, errors=checkify.float_checks)
+
+                def fn(x_t, key, params, _checked=checked):
+                    err, out = _checked(x_t, key, params)
+                    err.throw()  # localized op + source line on non-finite
+                    return out
+
             self._cache[schedule_key] = fn
         return fn
 

@@ -48,6 +48,19 @@ class MaybeWandb:
         if self.run is not None:
             self._wandb.log(data)
 
+    def log_artifact(self, path: str, name: str, type: str = "profile"):
+        """Upload a file as a wandb Artifact (reference uploads the cProfile
+        dump this way, tests/SimpleUniform.py:147-149). No-op when disabled
+        or when the file does not exist."""
+        if self.run is None or not os.path.isfile(path):
+            return
+        try:
+            artifact = self._wandb.Artifact(name, type=type)
+            artifact.add_file(path)
+            self.run.log_artifact(artifact)
+        except Exception:
+            pass
+
     def finish(self):
         if self.run is not None:
             self._wandb.finish()

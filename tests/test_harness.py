@@ -126,19 +126,38 @@ def test_wandb_stub_records_reference_keys(tmp_path, monkeypatch):
     import types
 
     logged = []
+    uploaded = []
     stub = types.ModuleType("wandb")
-    stub.init = lambda **kw: types.SimpleNamespace(**kw)
+
+    class _Artifact:
+        def __init__(self, name, type="profile"):
+            self.name = name
+            self.files = []
+
+        def add_file(self, path):
+            self.files.append(path)
+
+    stub.Artifact = _Artifact
+    stub.init = lambda **kw: types.SimpleNamespace(
+        **kw, log_artifact=lambda a: uploaded.append(a)
+    )
     stub.log = lambda data: logged.append(data)
     stub.finish = lambda: None
     monkeypatch.setitem(sys.modules, "wandb", stub)
 
+    prof_dir = str(tmp_path / "prof")
     h = SimpleUniform(*make_quad(), wandb=True)
     h.test(str(tmp_path), rhomax=2, num_domain=80, num_boundary=16,
-           train_domain=60, train_boundary=16, make_plots=False)
+           train_domain=60, train_boundary=16, make_plots=False,
+           profile_dir=prof_dir)
     keys = {k for d in logged for k in d}
     assert any(k.startswith("mean of GP L2") for k in keys)
     assert any(k.startswith("p-value") for k in keys)
     assert any("positive count" in k for k in keys)
+    # the cProfile dump must be uploaded as a wandb Artifact (reference
+    # tests/SimpleUniform.py:147-149)
+    assert len(uploaded) == 1
+    assert uploaded[0].files[0].endswith("SimpleUniform_rho_2.prof")
 
 
 def test_profile_dir_artifacts(tmp_path):
