@@ -67,6 +67,16 @@ class PicardModel(NamedTuple):
     # traffic; the u/z accumulators, weights and all reductions stay fp32
     # (PrecisionPolicy.rollout; VERDICT.md Next-round #3).
     path_dtype: str = "float32"
+    # f applied to the level-0 (identically zero) Picard estimate is itself
+    # identically zero.  True for the ScaSML residual generator: f_breve(x,
+    # 0, 0) = f(x, u_hat, sigma grad u_hat) - f(x, u_hat, sigma grad u_hat)
+    # is BITWISE zero (0 + a == a in IEEE fp), so the builders skip the whole
+    # f evaluation — which is a full GP-posterior-with-gradient sweep at the
+    # LARGEST mf of every level, ~1/3 of all rollout posterior work — with no
+    # change to the estimator.  The reference evaluates it anyway
+    # (solvers/ScaSML.py:205-233 at l==0).  False for plain MLP, whose
+    # f(x, 0, 0) is the true generator at the origin and nonzero.
+    f_zero_at_zero: bool = False
 
 
 def _z_accum(vals, weights, mf: int, centered: bool):
@@ -188,19 +198,27 @@ def build_quadrature_uz(
                 ).reshape(-1, dim + 1)
                 denom = (c_k - t + 1e-6)[:, None]
 
-                sim_l = uz(l, xt_k, jax.random.fold_in(kk, 1), params)
-                y = model.f(params, xt_k, sim_l[:, :1], sim_l[:, 1:]).reshape(B, mf)
-                u = u + w_k[:, None] * jnp.mean(y, axis=1, keepdims=True)
-                z = z + w_k[:, None] * _z_accum(y, W, mf, model.center_z) / denom
-                if l:
-                    sim_lm1 = uz(l - 1, xt_k, jax.random.fold_in(kk, 2), params)
-                    y2 = model.f(
-                        params, xt_k, sim_lm1[:, :1], sim_lm1[:, 1:]
+                if l > 0 or not model.f_zero_at_zero:
+                    sim_l = uz(l, xt_k, jax.random.fold_in(kk, 1), params)
+                    y = model.f(
+                        params, xt_k, sim_l[:, :1], sim_l[:, 1:]
                     ).reshape(B, mf)
-                    u = u - w_k[:, None] * jnp.mean(y2, axis=1, keepdims=True)
-                    z = z - w_k[:, None] * _z_accum(
-                        y2, W, mf, model.center_z
+                    u = u + w_k[:, None] * jnp.mean(y, axis=1, keepdims=True)
+                    z = z + w_k[:, None] * _z_accum(
+                        y, W, mf, model.center_z
                     ) / denom
+                if l:
+                    if l - 1 > 0 or not model.f_zero_at_zero:
+                        sim_lm1 = uz(
+                            l - 1, xt_k, jax.random.fold_in(kk, 2), params
+                        )
+                        y2 = model.f(
+                            params, xt_k, sim_lm1[:, :1], sim_lm1[:, 1:]
+                        ).reshape(B, mf)
+                        u = u - w_k[:, None] * jnp.mean(y2, axis=1, keepdims=True)
+                        z = z - w_k[:, None] * _z_accum(
+                            y2, W, mf, model.center_z
+                        ) / denom
                 elif model.leaf is not None:
                     # GP PDE-residual injection at leaf level
                     # (reference solvers/ScaSML.py:274-280).
@@ -271,18 +289,22 @@ def build_full_history_uz(
             eta = xi * inv_sqrt * wgt                        # (B, mf, dim)
             wflat = wgt[..., 0]                              # (B, mf)
             key, k1 = jax.random.split(key)
-            sim_l = uz(l, xt_k, k1, params)
-            y = model.f(params, xt_k, sim_l[:, :1], sim_l[:, 1:]).reshape(B, mf)
-            u = u + dT * jnp.mean(y * wflat, axis=1, keepdims=True)
-            z = z + dT * _z_accum(y, eta, mf, model.center_z)
+            if l > 0 or not model.f_zero_at_zero:
+                sim_l = uz(l, xt_k, k1, params)
+                y = model.f(
+                    params, xt_k, sim_l[:, :1], sim_l[:, 1:]
+                ).reshape(B, mf)
+                u = u + dT * jnp.mean(y * wflat, axis=1, keepdims=True)
+                z = z + dT * _z_accum(y, eta, mf, model.center_z)
             if l:
                 key, k2 = jax.random.split(key)
-                sim_lm1 = uz(l - 1, xt_k, k2, params)
-                y2 = model.f(
-                    params, xt_k, sim_lm1[:, :1], sim_lm1[:, 1:]
-                ).reshape(B, mf)
-                u = u - dT * jnp.mean(y2 * wflat, axis=1, keepdims=True)
-                z = z - dT * _z_accum(y2, eta, mf, model.center_z)
+                if l - 1 > 0 or not model.f_zero_at_zero:
+                    sim_lm1 = uz(l - 1, xt_k, k2, params)
+                    y2 = model.f(
+                        params, xt_k, sim_lm1[:, :1], sim_lm1[:, 1:]
+                    ).reshape(B, mf)
+                    u = u - dT * jnp.mean(y2 * wflat, axis=1, keepdims=True)
+                    z = z - dT * _z_accum(y2, eta, mf, model.center_z)
             elif model.leaf is not None:
                 eps = model.leaf(params, xt_k).reshape(B, mf)
                 u = u + dT * jnp.mean(eps * wflat, axis=1, keepdims=True)

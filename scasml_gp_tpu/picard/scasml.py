@@ -39,10 +39,12 @@ from scasml_gp_tpu.picard.schedule import (
 
 class _ScaSMLBase(_PicardBase):
     def __init__(self, equation, gp: GP, batch_chunk=None, center_z=None,
-                 time_sampling=None, precision=None, mesh=None):
+                 time_sampling=None, precision=None, mesh=None,
+                 debug_checks=False):
         super().__init__(equation, batch_chunk=batch_chunk,
                          center_z=center_z, time_sampling=time_sampling,
-                         precision=precision, mesh=mesh)
+                         precision=precision, mesh=mesh,
+                         debug_checks=debug_checks)
         self.GP = gp
         self.eval_chunk = gp.eval_chunk
 
@@ -84,6 +86,10 @@ class _ScaSMLBase(_PicardBase):
             time_sampling=self.time_sampling,
             terminal_z=self.terminal_z,
             path_dtype=self.precision.rollout,
+            # f_breve(x, 0, 0) is bitwise zero (val1 == val2), so the
+            # builders skip the level-0 f sweep — a full posterior+gradient
+            # evaluation at the largest mf of every level — exactly.
+            f_zero_at_zero=True,
         )
 
     def _u_hat(self, x_t) -> jax.Array:

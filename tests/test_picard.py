@@ -209,3 +209,67 @@ def test_scasml_quadrature_runs_and_improves(trained_gp):
     sca = ScaSML(eq, gp)
     e_sca = _rel_l2(sca.u_solve(2, 2, x_test), exact)
     assert e_sca < e_gp, (e_sca, e_gp)
+
+
+def test_skip_zero_fbreve_is_bitwise_exact(trained_gp):
+    """f_zero_at_zero=True (the ScaSML default) skips the level-0 f_breve
+    posterior sweeps; since those contributions are bitwise zero (val1 ==
+    val2 on identical inputs, and x + 0 == x), the estimator must be
+    BITWISE identical with the flag off."""
+    from scasml_gp_tpu.picard.core import (
+        build_full_history_uz,
+        build_quadrature_uz,
+    )
+    from scasml_gp_tpu.picard.schedule import approx_parameters as ap
+
+    eq, gp = trained_gp
+    sca = ScaSMLFullHistory(eq, gp)
+    model = sca._model()
+    assert model.f_zero_at_zero
+    x_t = eq.geometry().sample_domain(jax.random.PRNGKey(5), 16)
+    key = jax.random.PRNGKey(9)
+    params = sca._params()
+
+    fast = build_full_history_uz(model, 2, 3)(x_t, key, params)
+    slow = build_full_history_uz(
+        model._replace(f_zero_at_zero=False), 2, 3
+    )(x_t, key, params)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+    tables = ap(2, eq.T)
+    fast_q = build_quadrature_uz(model, 2, 2, tables)(x_t, key, params)
+    slow_q = build_quadrature_uz(
+        model._replace(f_zero_at_zero=False), 2, 2, tables
+    )(x_t, key, params)
+    np.testing.assert_array_equal(np.asarray(fast_q), np.asarray(slow_q))
+
+
+# ------------------------------------------------------- debug mode (checkify)
+def test_debug_checks_clean_run_matches_unchecked():
+    """debug_checks=True is semantics-preserving on finite inputs."""
+    eq = GradDependentNonlinear(n_input=D + 1)
+    x_t = eq.geometry().sample_domain(jax.random.PRNGKey(0), 32)
+    ref = MLPFullHistory(eq)
+    dbg = MLPFullHistory(eq, debug_checks=True)
+    ref.key = dbg.key = jax.random.PRNGKey(7)
+    u_ref = np.asarray(ref.u_solve(2, None, x_t, M=2))
+    u_dbg = np.asarray(dbg.u_solve(2, None, x_t, M=2))
+    np.testing.assert_allclose(u_dbg, u_ref, rtol=1e-6, atol=1e-7)
+
+
+def test_debug_checks_localizes_nonfinite():
+    """A NaN in the input raises a checkify error with an op location,
+    instead of silently propagating into the output (SURVEY §5 sanitizers)."""
+    from jax.experimental import checkify
+
+    eq = GradDependentNonlinear(n_input=D + 1)
+    x_t = np.array(eq.geometry().sample_domain(jax.random.PRNGKey(0), 8))
+    x_t[0, 0] = np.nan
+    dbg = MLPFullHistory(eq, debug_checks=True)
+    with pytest.raises(checkify.JaxRuntimeError, match="nan"):
+        dbg.u_solve(2, None, jnp.asarray(x_t), M=2)
+    # the unchecked solver silently propagates (this is what the harness
+    # NaN mask used to be the only guard for)
+    plain = MLPFullHistory(eq)
+    out = np.asarray(plain.u_solve(2, None, jnp.asarray(x_t), M=2))
+    assert np.isnan(out[0]).any() or np.isfinite(out).all()
