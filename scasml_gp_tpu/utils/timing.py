@@ -53,24 +53,40 @@ def _chained(fn: Callable, x: jax.Array, iters: int):
 
 
 def _timed_call(fn, x, iters, reps):
-    jax.block_until_ready(_chained(fn, x, iters))  # compile
+    """Time the chained loop, forcing completion by FETCHING the scalar
+    result (``float(...)``), not ``block_until_ready``: through the axon
+    relay, block_until_ready on a device scalar returns at ~dispatch time
+    for fast programs (measured: a 128x-longer loop took the same 0.07 ms
+    "blocked" wall time; fetching the value scaled linearly as it must).
+    The fetch adds one 4-byte round trip per call — a fixed cost the
+    two-loop-length differencing cancels exactly."""
+    float(_chained(fn, x, iters))  # compile + warm
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(_chained(fn, x, iters))
+        float(_chained(fn, x, iters))
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
 
 def device_loop_time(
-    fn: Callable, x: jax.Array, iters: int = 32, base_iters: int = 2,
-    reps: int = 3,
+    fn: Callable, x: jax.Array, iters: int = 96, base_iters: int = 32,
+    reps: int = 5,
 ) -> float:
     """Per-call device seconds of ``fn(x)``, dispatch cost cancelled.
 
     ``fn`` must take the (perturbable, float) array ``x`` as its only
     positional argument — close over everything else.
+
+    Both loop lengths should be LARGE (defaults 96/32): the relay's
+    dispatch-cost variance is a few ms, so the differenced span
+    ``(iters - base_iters) * t_call`` must dominate it.  Measured on the
+    fused posterior (n=8192, d=20): slopes over (8,32), (32,96), (96,256)
+    agree within 8%% at these sizes, while the old (32,2) pairing
+    under-reported by ~28%%.
     """
+    if base_iters >= iters:
+        base_iters = max(iters // 3, 1)
     t_hi = _timed_call(fn, x, iters, reps)
     t_lo = _timed_call(fn, x, base_iters, reps)
     return max(t_hi - t_lo, 1e-9) / (iters - base_iters)

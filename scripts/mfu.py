@@ -1,10 +1,24 @@
-"""MFU / roofline accounting for the three hot paths (VERDICT round-1 #4).
+"""MFU / roofline accounting for the hot paths (VERDICT round-2 #1/#3).
 
-For each hot path — fused posterior kernel, ScaSML Picard rollout, Gram
-assembly + factorization — this script computes ANALYTIC flop and byte counts,
-measures strict per-call synced wall-clock on the attached device, and reports
-achieved TFLOP/s + GB/s against the chip's peak (device_kind-based table), plus
-which roofline regime (compute vs HBM bandwidth) bounds the kernel.
+Round-2's model had two falsifiable defects the round-3 rework fixes:
+
+1. **It only knew two ceilings (MXU flops, HBM bytes).**  The fused
+   posterior's arithmetic is dominated by ELEMENTWISE polynomial + exp math
+   over the (n, N) pair grid — VPU work, whose practical ceiling
+   (~4.4 TF/s fp32 on v5e, measured by scripts/vpu_probe.py) is ~45x below
+   the MXU bf16 peak.  Scored against MXU+HBM only, the posterior looked
+   5-18x off roofline; against the three-ceiling model it is near the VPU
+   roof (the honest "fundamental-limit argument" VERDICT asked for).
+2. **The gram_assembly row timed a fused-away write** (frac 2.78 > 1): the
+   chained-loop consumer was a reduction, so XLA never materialized K.  Now
+   the consumer is a matvec K @ v — a dot operand must materialize — and the
+   byte model counts the write + the read.
+
+Flop/byte counts now come from XLA's own ``cost_analysis()`` on the compiled
+program (flops exclude transcendentals, which XLA reports separately; bytes
+are post-fusion).  MXU flops are enumerated analytically per path (the dots
+are few and known); VPU flops = total - MXU.  Every row asserts
+``frac_of_roofline <= 1.1``.
 
 Writes ``reports/mfu.json``; ``bench.py`` echoes the summary on stderr.
 
@@ -16,19 +30,15 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from scasml_gp_tpu.utils.timing import device_loop_time
 
-# (bf16 peak TFLOP/s, HBM GB/s) per chip family. fp32 elementwise work runs on
-# the VPU, far below these numbers; the MXU matmuls here are fp32-accumulating
-# with fp32 operands, for which the practical ceiling is ~1/2 the bf16 peak
-# (one extra pass). We report achieved numbers against the bf16 peak — a
-# conservative (under-)estimate of utilization.
+# (bf16 MXU peak TFLOP/s, HBM GB/s) per chip family.  fp32-operand matmuls
+# (our default; bf16 operands are the opt-in PrecisionPolicy.gram) run the
+# MXU at ~1/2 the bf16 peak, which is what the MXU ceiling below uses.
 PEAKS = {
     "v4": (275.0, 1228.0),
     "v5 lite": (197.0, 819.0),
@@ -47,44 +57,80 @@ def chip_peaks():
     return kind, (None, None)
 
 
-def synced_time(fn, *args, reps=8, **kw):
-    """Strict per-call sync — ONLY for >=100 ms work where the ~20 ms relay
-    round trip is negligible; sub-ms kernels use device_loop_time."""
-    jax.block_until_ready(fn(*args, **kw))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args, **kw))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+def vpu_peaks():
+    """Measured VPU ceilings (scripts/vpu_probe.py).  Runs the probe if the
+    report is missing so the accounting is always self-consistent with the
+    attached chip."""
+    path = os.path.join(os.path.dirname(__file__), "..", "reports",
+                        "vpu_peak.json")
+    if not os.path.exists(path):
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__),
+                                          "vpu_probe.py")],
+            check=True,
+        )
+    with open(path) as fh:
+        rep = json.load(fh)
+    return rep["vpu_fp32_tflops"], rep["exp_per_s_g"] * 1e9
 
 
-def entry(name, t_s, flops, bytes_, peak_tf, peak_bw):
-    tf = flops / t_s / 1e12
-    gbs = bytes_ / t_s / 1e9
+def xla_costs(fn, *args):
+    """(flops, transcendentals, bytes accessed) from XLA's cost analysis of
+    the compiled program (post-fusion; flops EXCLUDE transcendentals)."""
+    ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return (
+        float(ca.get("flops", 0.0)),
+        float(ca.get("transcendentals", 0.0)),
+        float(ca.get("bytes accessed", 0.0)),
+    )
+
+
+def entry(name, t_s, mxu_flops, total_flops, trans, bytes_, peaks):
+    mxu_peak_bf16, hbm_peak, vpu_peak, exp_rate = peaks
+    vpu_flops = max(total_flops - mxu_flops, 0.0)
+    mxu_peak_fp32 = mxu_peak_bf16 / 2.0  # fp32 operands
+    t_mxu = mxu_flops / (mxu_peak_fp32 * 1e12)
+    t_vpu = vpu_flops / (vpu_peak * 1e12) + trans / exp_rate
+    t_hbm = bytes_ / (hbm_peak * 1e9)
+    bound, t_roof = max(
+        (("mxu", t_mxu), ("vpu", t_vpu), ("hbm", t_hbm)), key=lambda kv: kv[1]
+    )
+    frac = t_roof / t_s
     out = {
         "path": name,
         "time_ms": round(t_s * 1e3, 4),
-        "analytic_gflops": round(flops / 1e9, 3),
-        "analytic_mbytes": round(bytes_ / 1e6, 3),
-        "achieved_tflops": round(tf, 3),
-        "achieved_gbs": round(gbs, 2),
+        "mxu_gflops": round(mxu_flops / 1e9, 3),
+        "vpu_gflops": round(vpu_flops / 1e9, 3),
+        "transcendentals_g": round(trans / 1e9, 4),
+        "mbytes_accessed": round(bytes_ / 1e6, 3),
+        "achieved_mxu_tflops": round(mxu_flops / t_s / 1e12, 3),
+        "achieved_vpu_tflops": round(vpu_flops / t_s / 1e12, 3),
+        "achieved_gbs": round(bytes_ / t_s / 1e9, 2),
+        "roofline_bound": bound,
+        "roofline_ms": round(t_roof * 1e3, 4),
+        "frac_of_roofline": round(frac, 4),
     }
-    if peak_tf:
-        out["mfu_vs_bf16_peak"] = round(tf / peak_tf, 4)
-        out["bw_util"] = round(gbs / peak_bw, 4)
-        # roofline: which resource the analytic intensity pins
-        t_compute = flops / (peak_tf * 1e12)
-        t_memory = bytes_ / (peak_bw * 1e9)
-        out["roofline_bound"] = "compute" if t_compute > t_memory else "memory"
-        out["roofline_ms"] = round(max(t_compute, t_memory) * 1e3, 4)
-        out["frac_of_roofline"] = round(
-            max(t_compute, t_memory) / t_s, 4
-        )
+    # Physical-possibility gate (VERDICT round-2 #3): a fraction above 1
+    # means the model claims more work/s than the hardware can do — a
+    # measurement or accounting bug, never a result.
+    assert frac <= 1.1, (name, out)
     return out
 
 
-def posterior_case(n, N, Nb, d, peak_tf, peak_bw):
+def _posterior_mxu_flops(n, N, Nb, d, want_grad):
+    f = 2.0 * n * (N + Nb) * (d + 1)      # pair_stats distance dots
+    f += 2.0 * n * Nb                     # kb @ r2
+    if want_grad:
+        f += 2.0 * n * (N + Nb) * d       # AY_sp dots
+        f += 2.0 * n * (N + Nb)           # aty dots
+    return f
+
+
+def posterior_case(n, N, Nb, d, peaks):
     from scasml_gp_tpu.gp.pallas_posterior import posterior_eval_fused
     from scasml_gp_tpu.gp.posterior import posterior_eval
 
@@ -95,34 +141,33 @@ def posterior_case(n, N, Nb, d, peak_tf, peak_bw):
     r = jax.random.normal(ks[3], (4 * N + Nb,)) * 0.1
     gamma = jnp.array([1.0 / (0.0625 * d)] * 2 + [0.0], jnp.float32)
 
-    fp = -(-(d + 1) // 128) * 128          # feature dim padded to 128
-    ti, tj = 256, 512
-    n_pad = -(-n // ti) * ti
-    N_pad = -(-N // tj) * tj
-    # 3 MXU matmuls per tile pair (pair products + 2 gradient contractions)
-    flops = 3 * 2 * n_pad * N_pad * fp + 60 * n_pad * N_pad
-    # x streamed once per i-row, y tiles re-streamed per i-row; outputs O(n)
-    bytes_ = 4 * (
-        n_pad * fp                       # x tiles (kept across the j sweep)
-        + (n_pad // ti) * N_pad * (fp + 128)  # y + r tiles per i-row
-        + 8 * n_pad + 2 * n_pad * fp     # ops8 + two gradient accumulators
-    )
+    mxu = _posterior_mxu_flops(n, N, Nb, d, want_grad=True)
+    fn_xla = lambda xx: posterior_eval(
+        xx, x_dom, x_bdy, r, gamma, d, want_grad=True, want_ops=True,
+        chunk=8192)
+    fn_pal = lambda xx: posterior_eval_fused(
+        xx, x_dom, x_bdy, r, gamma, d, want_grad=True, want_ops=True)
+    # cost_analysis counts a lax.map/while body ONCE regardless of trip
+    # count, so analyze ONE unchunked 8192-row block and scale linearly
+    # (flops and per-chunk traffic are both proportional to rows).
+    fn_ca = lambda xx: posterior_eval(
+        xx, x_dom, x_bdy, r, gamma, d, want_grad=True, want_ops=True,
+        chunk=None)
+    total, trans, bytes_ = xla_costs(fn_ca, x[:8192])
+    scale = n / 8192.0
+    total, trans, bytes_ = total * scale, trans * scale, bytes_ * scale
 
     rows = []
-    for name, fn in (
-        ("xla", lambda xx: posterior_eval(
-            xx, x_dom, x_bdy, r, gamma, d, want_grad=True, want_ops=True,
-            chunk=8192)),
-        ("pallas", lambda xx: posterior_eval_fused(
-            xx, x_dom, x_bdy, r, gamma, d, want_grad=True, want_ops=True)),
-    ):
-        t = device_loop_time(fn, x, iters=16)
-        rows.append(entry(f"posterior_{name}(n={n},N={N},d={d})", t, flops,
-                          bytes_, peak_tf, peak_bw))
+    for name, fn in (("xla", fn_xla), ("pallas", fn_pal)):
+        t = device_loop_time(fn, x)
+        # the pallas row reuses the XLA path's cost model (same math spec;
+        # cost_analysis sees a pallas_call as an opaque custom-call)
+        rows.append(entry(f"posterior_{name}(n={n},N={N},d={d})", t, mxu,
+                          total, trans, bytes_, peaks))
     return rows
 
 
-def gram_case(N, Nb, d, peak_tf, peak_bw):
+def gram_case(N, Nb, d, peaks):
     from scasml_gp_tpu.gp.gram import gram_matrix, regularized_factorization
 
     ks = jax.random.split(jax.random.PRNGKey(1), 2)
@@ -130,34 +175,58 @@ def gram_case(N, Nb, d, peak_tf, peak_bw):
     x_bdy = jax.random.uniform(ks[1], (Nb, d + 1), minval=-0.5, maxval=0.5)
     gamma = jnp.asarray([1.0 / (0.0625 * d)] * 2 + [0.0], jnp.float32)
     phi = 4 * N + Nb
+    v = jax.random.normal(jax.random.PRNGKey(2), (phi,))
 
-    t_g = device_loop_time(
-        lambda xd: gram_matrix(xd, x_bdy, gamma, d), x_dom, iters=256
+    # K @ v forces K to MATERIALIZE (a dot operand cannot fuse into its
+    # producer), so the measurement includes the production-realistic HBM
+    # write of K that the round-2 reduction-consumer fused away.
+    fn_g = lambda xd: gram_matrix(xd, x_bdy, gamma, d) @ v
+    t_g = device_loop_time(fn_g, x_dom, iters=96)
+    total_g, trans_g, _ = xla_costs(fn_g, x_dom)
+    # Analytic bytes, not cost_analysis: XLA's per-op accounting charges the
+    # 25 blocks' writes AND the concat copy AND the matvec read (~477 MB),
+    # but the compiled program fuses block math into the concat buffer — the
+    # true traffic is ONE write of K plus ONE read by the matvec.
+    bytes_g = 2 * 4.0 * phi * phi + 4.0 * (N + Nb) * (d + 1)
+    mxu_g = (
+        2.0 * (N + Nb) ** 2 * (d + 1)     # pair_stats dots (4 set pairs)
+        + 2.0 * phi * phi                 # the forcing matvec
     )
-    pair_rows = (N + Nb) ** 2
-    flops_g = 2 * pair_rows * (d + 1) + 25 * 10 * pair_rows
-    bytes_g = 4 * (phi * phi + (N + Nb) * (d + 1) * 2)  # K write dominates
-    # NOTE: in the timing loop the consumer is a reduction, so XLA may fuse
-    # the assembly into it and skip materializing K — bw_util can read >1
-    # against this byte count; production (factorization consumer) writes K.
-    g_entry = entry(f"gram_assembly(N={N},Nb={Nb},d={d})", t_g, flops_g,
-                    bytes_g, peak_tf, peak_bw)
+    g_entry = entry(f"gram_assembly+matvec(N={N},Nb={Nb},d={d})", t_g, mxu_g,
+                    total_g, trans_g, bytes_g, peaks)
 
     K = gram_matrix(x_dom, x_bdy, gamma, d)
-    t_f = device_loop_time(
-        lambda KK: regularized_factorization(KK, jnp.float32(1e-2))[1],
-        K, iters=8,
-    )
-    # cholesky (phi^3/3) + 3 jittered retries + triangular solve w/ phi rhs
-    # (phi^3/2) + Minv matmul (phi^3) , x2 flops per MAC
+    fn_f = lambda KK: regularized_factorization(KK, jnp.float32(1e-2))[1]
+    t_f = device_loop_time(fn_f, K, iters=32, base_iters=8)
+    # cholesky (phi^3/3) + 2 jittered retries + triangular solve w/ phi rhs
+    # (phi^3/2) + Minv matmul (phi^3), x2 flops per MAC.  cost_analysis
+    # reports ~0 for the cholesky/triangular custom-calls, so this row stays
+    # analytic (all of it MXU-class systolic work).
     flops_f = 2 * (3 * phi**3 / 3 + phi**3 / 2 + phi**3)
     bytes_f = 4 * 4 * phi * phi
-    f_entry = entry(f"factorization(phi={phi})", t_f, flops_f, bytes_f,
-                    peak_tf, peak_bw)
+    f_entry = entry(f"factorization(phi={phi})", t_f, flops_f, flops_f, 0.0,
+                    bytes_f, peaks)
     return [g_entry, f_entry]
 
 
-def rollout_case(B, d, n, M, peak_tf, peak_bw):
+def _fh_sweep_rows(B, lvl, M, acc):
+    """Posterior-sweep row counts of the full-history ScaSML rollout,
+    mirroring picard/core.py build_full_history_uz (with the level-0
+    f_breve sweeps skipped — they are bitwise zero)."""
+    acc["u"] += B * (M ** lvl)            # terminal g_breve
+    for l in range(lvl):
+        child = B * (M ** (lvl - l))
+        if l > 0:
+            _fh_sweep_rows(child, l, M, acc)
+            acc["grad"] += child          # f_breve on sim_l
+            if l - 1 > 0:
+                _fh_sweep_rows(child, l - 1, M, acc)
+                acc["grad"] += child      # f_breve on sim_{l-1}
+        else:
+            acc["ops"] += child           # leaf residual injection
+
+
+def rollout_case(B, d, n, M, peaks):
     from scasml_gp_tpu.config import GPConfig
     from scasml_gp_tpu.equations import GradDependentNonlinear
     from scasml_gp_tpu.gp import GPGradDependentNonlinear
@@ -173,38 +242,53 @@ def rollout_case(B, d, n, M, peak_tf, peak_bw):
     fn = sca._get_fn((n, M))
     params = sca._params()
     key = jax.random.PRNGKey(2)
-    t = device_loop_time(lambda xt: fn(xt, key, params), x_t, iters=4)
+    timed = lambda xt: fn(xt, key, params)
+    t = device_loop_time(timed, x_t, iters=96, base_iters=32)
+    # Analyze with an UNCHUNKED posterior (cost_analysis counts a lax.map
+    # body once); timing above uses the production eval_chunk.  Flops are
+    # chunking-independent and the chunked loop reuses (not multiplies)
+    # its buffers, so the unchunked byte count is the honest upper bound.
+    gp.eval_chunk = 1 << 20
+    sca_ca = ScaSMLFullHistory(eq, gp)
+    fn_ca = sca_ca._get_fn((n, M))
+    total, trans, bytes_ = xla_costs(lambda xt: fn_ca(xt, key, params), x_t)
 
-    # dominant work: GP posterior evals at every tree node; count rows from
-    # the schedule counters (per-point f/g evaluations)
-    from scasml_gp_tpu.picard.schedule import count_evaluations_full_history
-
-    rows = B * count_evaluations_full_history(n, M, scasml_variant=True,
-                                              count_fg=True)
+    acc = {"u": 0, "grad": 0, "ops": 0}
+    _fh_sweep_rows(B, n, M, acc)
     N, Nb = 1000, 200
-    per_row = 3 * 2 * (N + Nb) * (d + 1) + 60 * (N + Nb)
-    flops = rows * per_row
-    # node coordinates + outputs; the training set stays VMEM-resident
-    bytes_ = rows * 4 * (d + 1 + 8)
+    per_u = _posterior_mxu_flops(1, N, Nb, d, want_grad=False)
+    per_g = _posterior_mxu_flops(1, N, Nb, d, want_grad=True)
+    mxu = (acc["u"] + acc["ops"]) * per_u + acc["grad"] * per_g
     return entry(
-        f"scasml_rollout(B={B},d={d},n={n},M={M})", t, flops, bytes_,
-        peak_tf, peak_bw,
+        f"scasml_rollout(B={B},d={d},n={n},M={M})", t, mxu, total, trans,
+        bytes_, peaks,
     )
 
 
 def main():
     kind, (peak_tf, peak_bw) = chip_peaks()
-    print(f"device: {kind} peaks: {peak_tf} TF/s {peak_bw} GB/s",
-          file=sys.stderr, flush=True)
+    vpu_tf, exp_rate = vpu_peaks()
+    peaks = (peak_tf, peak_bw, vpu_tf, exp_rate)
+    print(
+        f"device: {kind} peaks: MXU(bf16) {peak_tf} TF/s, HBM {peak_bw} GB/s,"
+        f" VPU(meas) {vpu_tf} TF/s, exp(meas) {exp_rate/1e9:.0f} G/s",
+        file=sys.stderr, flush=True,
+    )
     rows = [
-        *posterior_case(8192, 1000, 200, 20, peak_tf, peak_bw),
-        *posterior_case(65536, 1000, 200, 20, peak_tf, peak_bw),
-        *posterior_case(8192, 1000, 200, 100, peak_tf, peak_bw),
-        *gram_case(1000, 200, 20, peak_tf, peak_bw),
-        rollout_case(1200, 20, 2, 3, peak_tf, peak_bw),
+        *posterior_case(8192, 1000, 200, 20, peaks),
+        *posterior_case(65536, 1000, 200, 20, peaks),
+        *posterior_case(8192, 1000, 200, 100, peaks),
+        *gram_case(1000, 200, 20, peaks),
+        rollout_case(1200, 20, 2, 3, peaks),
     ]
-    out = {"device_kind": kind, "peak_bf16_tflops": peak_tf,
-           "peak_hbm_gbs": peak_bw, "paths": rows}
+    out = {
+        "device_kind": kind,
+        "peak_mxu_bf16_tflops": peak_tf,
+        "peak_hbm_gbs": peak_bw,
+        "peak_vpu_fp32_tflops_measured": vpu_tf,
+        "peak_exp_per_s_measured": exp_rate,
+        "paths": rows,
+    }
     os.makedirs("reports", exist_ok=True)
     with open("reports/mfu.json", "w") as fh:
         json.dump(out, fh, indent=2)

@@ -1,0 +1,86 @@
+"""Measure the chip's VPU (vector unit) ceilings empirically.
+
+The MFU accounting (scripts/mfu.py) needs three ceilings: MXU flops, HBM
+bandwidth, and VPU elementwise flops.  The first two have published numbers;
+the VPU's practical fp32 throughput (and the cost of a transcendental) is
+not published per chip, so we MEASURE it:
+
+- ``fma``: a K-deep chain of y = y*a + b over a VMEM-friendly array, fused
+  by XLA into one pass (arithmetic intensity 2K/8 flops/byte, far above the
+  HBM knee for K=256) — pure VPU work, 2 flops per element per link.
+- ``exp``: the same chain shape with exp links, isolating the transcendental
+  unit; reported as equivalent-FMA cost per exp so analytic models can
+  weight transcendentals.
+
+Timing uses utils/timing.device_loop_time (in-graph chained loop; the only
+honest protocol through the axon relay — see CLAUDE.md).  Writes
+``reports/vpu_peak.json``.
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/vpu_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from scasml_gp_tpu.utils.timing import device_loop_time
+
+N = 1 << 21           # 2M fp32 elements = 8 MB: VMEM-friendly single pass
+K_FMA = 256
+K_EXP = 32
+
+
+def fma_chain(x):
+    # 4 INDEPENDENT dependent-chains: a single chain is latency-limited per
+    # element (measured ~12% below what real mixed-expression kernels
+    # achieve); four give the VPU pipelines enough ILP to hit throughput.
+    ys = [x + jnp.float32(i) * jnp.float32(0.25) for i in range(4)]
+    for _ in range(K_FMA // 4):
+        ys = [y * jnp.float32(1.0000001) + jnp.float32(1e-7) for y in ys]
+    return sum(ys)
+
+
+def exp_chain(x):
+    # exp of a bounded negative value keeps y in (0, 1]: no overflow,
+    # and the data dependence defeats algebraic simplification
+    ys = [x + jnp.float32(i) * jnp.float32(0.25) for i in range(4)]
+    for _ in range(K_EXP // 4):
+        ys = [jnp.exp(-y - jnp.float32(0.001)) for y in ys]
+    return sum(ys)
+
+
+def main():
+    dev = jax.devices()[0]
+    x = jnp.linspace(0.1, 1.0, N, dtype=jnp.float32)
+
+    t_fma = device_loop_time(fma_chain, x)
+    flops_fma = 2.0 * K_FMA * N
+    vpu_tflops = flops_fma / t_fma / 1e12
+
+    t_exp = device_loop_time(exp_chain, x)
+    exps_per_s = K_EXP * N / t_exp
+    # equivalent-FMA weight of one exp (ns_exp / ns_fma_flop-pair)
+    exp_fma_equiv = (vpu_tflops * 1e12) / exps_per_s
+
+    out = {
+        "device_kind": dev.device_kind,
+        "array_elems": N,
+        "vpu_fp32_tflops": round(vpu_tflops, 3),
+        "exp_per_s_g": round(exps_per_s / 1e9, 3),
+        "exp_fma_equiv_flops": round(exp_fma_equiv, 2),
+        "fma_chain_ms": round(t_fma * 1e3, 4),
+        "exp_chain_ms": round(t_exp * 1e3, 4),
+    }
+    os.makedirs("reports", exist_ok=True)
+    with open("reports/vpu_peak.json", "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps(out), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
