@@ -173,6 +173,25 @@ def test_profile_dir_artifacts(tmp_path):
     assert any(os.scandir(prof_dir))
 
 
+def test_runner_auto_tune_policy():
+    """CLI auto-tune default (VERDICT round-2 #2): flagless runs tune;
+    explicit kernel flags, --no-tune, --fit-ml, or non-GPConfig equations
+    opt out."""
+    from scasml_gp_tpu.harness.runner import resolve_tune
+
+    assert resolve_tune(None, 0.0, 1.0, False, "GradDependentNonlinear")
+    assert resolve_tune(None, 0.0, 1.0, False, "AllenCahn")
+    # explicit flags win
+    assert resolve_tune(True, 5.0, 1.0, False, "GradDependentNonlinear")
+    assert not resolve_tune(False, 0.0, 1.0, False, "GradDependentNonlinear")
+    # explicit kernel hyperparameters disable auto-tune
+    assert not resolve_tune(None, 5.0, 1.0, False, "GradDependentNonlinear")
+    assert not resolve_tune(None, 0.0, 2.0, False, "GradDependentNonlinear")
+    # --fit-ml replaces the grid; HJB's Cole-Hopf GP tunes itself
+    assert not resolve_tune(None, 0.0, 1.0, True, "GradDependentNonlinear")
+    assert not resolve_tune(None, 0.0, 1.0, False, "HJB")
+
+
 def test_runner_end_to_end(tmp_path):
     config = RunConfig(
         dim=D,
