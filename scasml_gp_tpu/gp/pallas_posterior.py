@@ -320,6 +320,7 @@ def posterior_eval_fused(
     want_ops: bool = False,
     chunk: Optional[int] = None,
     operand_dtype: str = "float32",
+    shard_dom=None,
 ) -> PosteriorOut:
     """Drop-in replacement for posterior.posterior_eval using the Pallas tile
     kernel for the interior set. ``chunk`` is accepted for API parity; the
@@ -327,8 +328,11 @@ def posterior_eval_fused(
     ``operand_dtype`` is likewise accepted for signature parity but the tile
     kernel keeps fp32 operands: its bottleneck is VMEM-resident elementwise
     math, not the HBM operand traffic the bf16 policy targets (and the XLA
-    path is the measured-faster default anyway, reports/posterior_probe.md)."""
-    del chunk, operand_dtype
+    path is the measured-faster default anyway, reports/posterior_probe.md).
+    ``shard_dom`` (model-axis contraction sharding) is accepted for parity
+    but unsupported here — a pallas_call is opaque to GSPMD partitioning;
+    use the XLA backend for distributed inference."""
+    del chunk, operand_dtype, shard_dom
     return _posterior_block_fused(
         x, x_dom, x_bdy, r, jnp.asarray(gamma, jnp.float32), dim,
         want_grad, want_ops,

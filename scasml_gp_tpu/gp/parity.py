@@ -368,10 +368,11 @@ def make_parity_posterior(subset: Tuple[int, ...], fp16: bool = False):
 
     def posterior(x, x_dom, x_bdy, r, gamma, dim, want_grad=False,
                   want_ops=False, chunk: Optional[int] = None,
-                  operand_dtype: str = "float32"):
-        # operand_dtype accepted for signature parity; parity mode reproduces
-        # the reference's fp16 quantization points, never bf16 operands.
-        del operand_dtype
+                  operand_dtype: str = "float32", shard_dom=None):
+        # operand_dtype / shard_dom accepted for signature parity; parity
+        # mode reproduces the reference's fp16 quantization points (never
+        # bf16 operands) and the reference is single-device.
+        del operand_dtype, shard_dom
         gam = jnp.atleast_1d(jnp.asarray(gamma, jnp.float32))[0]
         n = x.shape[0]
         if chunk is None or n <= chunk:

@@ -51,7 +51,10 @@ def _split_r(r: jax.Array, n_dom: int, n_bdy: int):
 
 
 @partial(
-    jax.jit, static_argnames=("dim", "want_grad", "want_ops", "operand_dtype")
+    jax.jit,
+    static_argnames=(
+        "dim", "want_grad", "want_ops", "operand_dtype", "shard_dom"
+    ),
 )
 def _posterior_block(
     x: jax.Array,
@@ -63,6 +66,7 @@ def _posterior_block(
     want_grad: bool,
     want_ops: bool,
     operand_dtype: str = "float32",
+    shard_dom=None,
 ) -> PosteriorOut:
     """Single-pass posterior for one block of evaluation points x (n, d+1).
 
@@ -71,6 +75,15 @@ def _posterior_block(
     the posterior is the memory-bound #1 hot path, so halving the operand
     traffic of the pair-statistics matmul is where the policy pays most.
     All elementwise kernel math and every reduction stay fp32.
+
+    ``shard_dom`` (a hashable ``NamedSharding`` over the mesh's 'model'
+    axis, or None) distributes the contraction over the TRAINING set
+    (VERDICT round-2 #4, SURVEY §2 G6/X2): constraining x_dom row-sharded
+    makes GSPMD partition every (n, N) pair intermediate — and the r-block
+    vectors broadcast against them — to (n, N/P) per device, with the row
+    reductions and gradient matmuls lowered to per-shard partials plus one
+    psum over 'model'.  Per-device posterior buffers are then ~1/P of the
+    replicated path; the (phi,)-sized weights stay replicated (KBs).
     """
     gs, gt, gr = split_gamma(gamma)
     d = dim
@@ -80,6 +93,16 @@ def _posterior_block(
     n_bdy = x_bdy.shape[0]
     r1, r2, r3, r4, r5 = _split_r(r.astype(jnp.float32), n_dom, n_bdy)
     x = x.astype(jnp.float32)
+    if shard_dom is not None:
+        x_dom = jax.lax.with_sharding_constraint(x_dom, shard_dom)
+        # shard the dom-indexed representer blocks consistently so XLA
+        # partitions the broadcast products instead of re-gathering x_dom
+        vec_sh = type(shard_dom)(shard_dom.mesh, jax.sharding.PartitionSpec(
+            shard_dom.spec[0]))
+        r1, r3, r4, r5 = (
+            jax.lax.with_sharding_constraint(v, vec_sh)
+            for v in (r1, r3, r4, r5)
+        )
 
     od = jnp.dtype(operand_dtype)
     st = pair_stats(x, x_dom, gamma, od)   # (n, N) stats vs interior set
@@ -203,7 +226,9 @@ def select_posterior_fn(backend: str, dim: int):
 
 @partial(
     jax.jit,
-    static_argnames=("dim", "want_grad", "want_ops", "chunk", "operand_dtype"),
+    static_argnames=(
+        "dim", "want_grad", "want_ops", "chunk", "operand_dtype", "shard_dom"
+    ),
 )
 def posterior_eval(
     x: jax.Array,
@@ -216,6 +241,7 @@ def posterior_eval(
     want_ops: bool = False,
     chunk: Optional[int] = None,
     operand_dtype: str = "float32",
+    shard_dom=None,
 ) -> PosteriorOut:
     """Fused posterior over x (n, d+1).
 
@@ -231,7 +257,7 @@ def posterior_eval(
     if chunk is None or n <= chunk:
         return _posterior_block(
             x, x_dom, x_bdy, r, gamma, dim, want_grad, want_ops,
-            operand_dtype,
+            operand_dtype, shard_dom,
         )
     pad = (-n) % chunk
     xp = jnp.pad(x, ((0, pad), (0, 0)))
@@ -239,7 +265,7 @@ def posterior_eval(
     out = jax.lax.map(
         lambda xc: _posterior_block(
             xc, x_dom, x_bdy, r, gamma, dim, want_grad, want_ops,
-            operand_dtype,
+            operand_dtype, shard_dom,
         ),
         xp,
     )

@@ -448,7 +448,19 @@ class GP:
             want_ops=want_ops,
             chunk=self.eval_chunk,
             operand_dtype=self.precision.gram,
+            shard_dom=self._dom_sharding(),
         )
+
+    def _dom_sharding(self):
+        """'model'-axis sharding for the posterior's training-set contraction
+        (VERDICT round-2 #4): with a >1 'model' mesh axis, the per-device
+        posterior buffers shrink to ~1/P of the replicated path; None (the
+        single-device default) keeps the contraction local."""
+        if self.mesh is None or self.mesh.shape.get("model", 1) <= 1:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return NamedSharding(self.mesh, PartitionSpec("model", None))
 
     def residual_u(self, params: GPState, x_t) -> jax.Array:
         """Strong-form PDE residual of the posterior mean in u-space,

@@ -137,3 +137,65 @@ def test_large_n_trains_on_mesh():
     assert np.isfinite(losses).all()
     assert np.isfinite(np.asarray(out.right_vector)).all()
     assert losses[-1] <= losses[0] * 1.5  # stable, no blow-up
+
+
+@pytest.mark.slow
+def test_distributed_inference_matches_replicated():
+    """VERDICT round-2 #4 (distributed INFERENCE): a calibrated ScaSML
+    rollout against an 8192-point distributed-trained surrogate, with the
+    posterior contraction sharded over the 'model' axis, matches the
+    replicated-posterior run within fp-reassociation tolerance — and the
+    sharded compile's per-device temp footprint is a fraction of the
+    replicated one."""
+    from scasml_gp_tpu.gp.posterior import posterior_eval
+    from scasml_gp_tpu.picard.scasml import ScaSMLFullHistory
+
+    eq, gp, x_dom, x_bdy = _problem(8192, 512, d=20, seed=3)
+    mesh = make_mesh(data=1, model=8)
+    distributed_gpsolver(gp, x_dom, x_bdy, mesh, gn_steps=2, cg_tol=1e-4,
+                         cg_maxiter=40)
+    state = gp.state
+
+    gp_sh = GPGradDependentNonlinear(gp.equation, GPConfig(), mesh=mesh)
+    gp_sh.state = state
+    assert gp_sh._dom_sharding() is not None
+    assert gp._dom_sharding() is None
+
+    x_test = gp.equation.geometry().sample_domain(jax.random.PRNGKey(7), 256)
+
+    # direct posterior equivalence, all outputs
+    o_rep = gp.posterior_u(state, x_test, want_grad=True, want_ops=True)
+    o_sh = gp_sh.posterior_u(state, x_test, want_grad=True, want_ops=True)
+    for a, b in zip(o_rep, o_sh):
+        if a is not None:
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+            )
+
+    # calibrated rollout equivalence (same keys; differences are only the
+    # psum reduction order inside the sharded posterior)
+    sca_rep = ScaSMLFullHistory(gp.equation, gp)
+    sca_sh = ScaSMLFullHistory(gp.equation, gp_sh)
+    u_rep = np.asarray(sca_rep.u_solve(1, None, x_test, M=2))
+    u_sh = np.asarray(sca_sh.u_solve(1, None, x_test, M=2))
+    np.testing.assert_allclose(u_sh, u_rep, rtol=2e-3, atol=5e-4)
+
+    # per-device posterior buffers shrink under the sharded contraction
+    sh = gp_sh._dom_sharding()
+    args = (x_test, state.x_dom, state.x_bdy, state.right_vector,
+            state.gamma)
+    kw = dict(dim=20, want_grad=True, want_ops=True)
+    c_rep = jax.jit(
+        lambda *a: posterior_eval(*a, **kw)
+    ).lower(*args).compile()
+    c_sh = jax.jit(
+        lambda *a: posterior_eval(*a, **kw, shard_dom=sh)
+    ).lower(*args).compile()
+    try:
+        t_rep = c_rep.memory_analysis().temp_size_in_bytes
+        t_sh = c_sh.memory_analysis().temp_size_in_bytes
+    except Exception:
+        return  # backend without memory analysis: value checks above suffice
+    if t_rep and t_sh:
+        # replicated holds (n, N) pair temps; sharded ~1/8 + collectives
+        assert t_sh <= t_rep / 2, (t_sh, t_rep)
