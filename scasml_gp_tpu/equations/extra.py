@@ -29,6 +29,11 @@ class HJB(Equation):
         self.center_z = True
         self.time_sampling = "sqrt"
         self.terminal_z = "corrected"
+        # With a converged surrogate the ScaSML correction is pure MC noise
+        # and the gradient-quadratic f turns it into BIAS (reports/RESULTS.md
+        # d=250: GP 0.161 -> ScaSML 0.204).  The James-Stein variance guard
+        # (picard/scasml.py) shrinks/abstains in that regime.
+        self.variance_guard = True
         # |u| grows like ln(|x|^2) ~ ln(d) on the diffusion-reachable set
         # (g = ln((1+|x|^2)/2), E|x+sigma W|^2 ~ d), so the output clips must
         # scale with dimension or they truncate the true solution at d >~ 50

@@ -94,15 +94,30 @@ def _z_accum(vals, weights, mf: int, centered: bool):
     return prod / mf
 
 
-def _terminal_pass(model: PicardModel, params, x, t, key, mc: int):
+def _sample_var_of_mean(vals, mf: int):
+    """Unbiased variance of mean(vals, axis=1): S^2/mf with
+    S^2 = sum (v - mean)^2 / (mf - 1).  Zero when mf < 2."""
+    if mf < 2:
+        return jnp.zeros((vals.shape[0], 1), jnp.float32)
+    m = jnp.mean(vals, axis=1, keepdims=True)
+    s2 = jnp.sum((vals - m) ** 2, axis=1, keepdims=True) / (mf - 1)
+    return s2 / mf
+
+
+def _terminal_pass(
+    model: PicardModel, params, x, t, key, mc: int, want_var: bool = False
+):
     """Terminal Monte-Carlo estimate:
         u = mean g(X_T),  z = mean(g(X_T) * xi) / (T - t + 1e-6)
-    (reference solvers/MLP.py:167-203), chunked over the MC axis."""
+    (reference solvers/MLP.py:167-203), chunked over the MC axis.
+    ``want_var`` additionally returns the unbiased variance of the u
+    estimate (S^2/mc across the MC axis) for the ScaSML variance guard."""
     B = x.shape[0]
     dim = model.dim
     pd = jnp.dtype(model.path_dtype)
     dT = (model.T - t)[:, None]
     u_sum = jnp.zeros((B, 1), jnp.float32)
+    usq_sum = jnp.zeros((B, 1), jnp.float32)
     z_sum = jnp.zeros((B, dim), jnp.float32)
     xi_sum = jnp.zeros((B, dim), jnp.float32)
     done = 0
@@ -120,10 +135,17 @@ def _terminal_pass(model: PicardModel, params, x, t, key, mc: int):
         ).reshape(-1, dim + 1).astype(jnp.float32)
         gv = model.g(params, xt_T).reshape(B, cur).astype(jnp.float32)
         u_sum = u_sum + jnp.sum(gv, axis=1, keepdims=True)
+        if want_var:
+            usq_sum = usq_sum + jnp.sum(gv * gv, axis=1, keepdims=True)
         z_sum = z_sum + jnp.sum(gv[..., None] * xi, axis=1)  # f32 accumulate
         xi_sum = xi_sum + jnp.sum(xi.astype(jnp.float32), axis=1)
         done += cur
     u = u_sum / mc
+    u_var = None
+    if want_var:
+        # Var(mean) = (sum g^2 - mc * mean^2) / ((mc - 1) * mc)
+        s2 = (usq_sum - mc * u * u) / max(mc - 1, 1)
+        u_var = jnp.maximum(s2, 0.0) / mc
     if model.terminal_z == "corrected":
         denom_t = jnp.sqrt(dT) + 1e-6
     else:
@@ -136,19 +158,25 @@ def _terminal_pass(model: PicardModel, params, x, t, key, mc: int):
         z = z_sum / ((mc - 1) * denom_t)
     else:
         z = z_sum / (mc * denom_t)
+    if want_var:
+        return u, z, u_var
     return u, z
 
 
 def build_quadrature_uz(
-    model: PicardModel, n: int, rho: int, tables: PicardTables
+    model: PicardModel, n: int, rho: int, tables: PicardTables,
+    want_variance: bool = False,
 ) -> Callable:
     """Build fn(x_t, key, params) -> (B, 1+dim) for the quadrature variant
-    (semantics of reference solvers/MLP.py:141-274 / ScaSML.py:149-284)."""
+    (semantics of reference solvers/MLP.py:141-274 / ScaSML.py:149-284).
+
+    ``want_variance`` appends the top-level u-estimate MC variance column
+    (see build_full_history_uz), for the ScaSML variance guard."""
     Mf, Mg, Q, c, w = tables
     T, dim = model.T, model.dim
     pd = jnp.dtype(model.path_dtype)
 
-    def uz(lvl: int, x_t, key, params):
+    def uz(lvl: int, x_t, key, params, want_var: bool = False):
         B = x_t.shape[0]
         if lvl <= 0:
             # Level-0 estimate is zero (reference solvers/MLP.py:205-207).
@@ -157,7 +185,14 @@ def build_quadrature_uz(
         t = x_t[:, -1].astype(jnp.float32)
 
         key, kterm = jax.random.split(key)
-        u, z = _terminal_pass(model, params, x, t, kterm, int(Mg[rho - 1, lvl]))
+        term = _terminal_pass(
+            model, params, x, t, kterm, int(Mg[rho - 1, lvl]),
+            want_var=want_var,
+        )
+        if want_var:
+            u, z, var = term
+        else:
+            (u, z), var = term, None
 
         for l in range(lvl):
             q = int(Q[rho - 1, lvl - l - 1])
@@ -178,8 +213,11 @@ def build_quadrature_uz(
             W0 = jnp.zeros((B, mf, dim), pd)
 
             def step(carry, inp):
-                X, W, u, z = carry
+                X, W, u, z, var_c = carry
                 kk, dt_k, c_k, w_k = inp
+                samp = (
+                    jnp.zeros((B, mf), jnp.float32) if want_var else None
+                )
                 dW = jnp.sqrt(dt_k)[:, None, None] * jax.random.normal(
                     kk, (B, mf, dim), jnp.float32
                 )
@@ -207,6 +245,8 @@ def build_quadrature_uz(
                     z = z + w_k[:, None] * _z_accum(
                         y, W, mf, model.center_z
                     ) / denom
+                    if want_var:
+                        samp = samp + y
                 if l:
                     if l - 1 > 0 or not model.f_zero_at_zero:
                         sim_lm1 = uz(
@@ -219,6 +259,8 @@ def build_quadrature_uz(
                         z = z - w_k[:, None] * _z_accum(
                             y2, W, mf, model.center_z
                         ) / denom
+                        if want_var:
+                            samp = samp - y2
                 elif model.leaf is not None:
                     # GP PDE-residual injection at leaf level
                     # (reference solvers/ScaSML.py:274-280).
@@ -227,36 +269,55 @@ def build_quadrature_uz(
                     z = z + w_k[:, None] * _z_accum(
                         eps, W, mf, model.center_z
                     ) / denom
-                return (X, W, u, z), None
+                if want_var:
+                    # quadrature nodes use fresh Brownian increments per
+                    # step; per-step contribution is w_k * mean(samp)
+                    var_c = var_c + (
+                        w_k[:, None] ** 2 * _sample_var_of_mean(samp, mf)
+                    )
+                return (X, W, u, z, var_c), None
 
-            (X0, W0, u, z), _ = jax.lax.scan(
+            if var is None:
+                var = jnp.zeros((B, 1), jnp.float32)
+            (X0, W0, u, z, var), _ = jax.lax.scan(
                 step,
-                (X0, W0, u, z),
+                (X0, W0, u, z, var),
                 (kks, dts.T, cloc.T, wloc.T),
             )
 
         out = jnp.concatenate([u, z], axis=1)
-        return jnp.clip(out, -model.clip, model.clip)
+        out = jnp.clip(out, -model.clip, model.clip)
+        if want_var:
+            out = jnp.concatenate([out, var], axis=1)  # var column unclipped
+        return out
 
     def fn(x_t, key, params):
-        return uz(n, x_t, key, params)
+        return uz(n, x_t, key, params, want_var=want_variance)
 
     return fn
 
 
 def build_full_history_uz(
-    model: PicardModel, n: int, M: int
+    model: PicardModel, n: int, M: int, want_variance: bool = False
 ) -> Callable:
     """Build fn(x_t, key, params) -> (B, 1+dim) for the full-history variant
     (semantics of reference solvers/MLP_full_history.py:64-180 /
     ScaSML_full_history.py): interior times are sampled uniformly on [t, T]
     instead of by quadrature; updates are
         u += (T-t) mean y,   z += (T-t) mean(y * xi / sqrt(tau (T-t) + 1e-6)).
+
+    ``want_variance`` appends one extra output column: the unbiased MC
+    variance of the TOP-LEVEL u estimate (sum over the terminal pass and
+    each level's sample variance of the mean — levels use independent
+    samples, and the per-level sample spread already contains all nested
+    sub-estimator noise).  Used by the ScaSML variance guard
+    (picard/scasml.py; VERDICT round-2 #5); costs one (B, mf) square +
+    reduction per level.
     """
     T, dim = model.T, model.dim
     pd = jnp.dtype(model.path_dtype)
 
-    def uz(lvl: int, x_t, key, params):
+    def uz(lvl: int, x_t, key, params, want_var: bool = False):
         B = x_t.shape[0]
         if lvl <= 0:
             return jnp.zeros((B, 1 + dim), jnp.float32)
@@ -265,7 +326,13 @@ def build_full_history_uz(
         dT = (T - t)[:, None]
 
         key, kterm = jax.random.split(key)
-        u, z = _terminal_pass(model, params, x, t, kterm, int(M**lvl))
+        term = _terminal_pass(
+            model, params, x, t, kterm, int(M**lvl), want_var=want_var
+        )
+        if want_var:
+            u, z, var = term
+        else:
+            (u, z), var = term, None
 
         for l in range(lvl):
             mf = int(M ** (lvl - l))
@@ -288,6 +355,7 @@ def build_full_history_uz(
 
             eta = xi * inv_sqrt * wgt                        # (B, mf, dim)
             wflat = wgt[..., 0]                              # (B, mf)
+            samp = jnp.zeros((B, mf), jnp.float32) if want_var else None
             key, k1 = jax.random.split(key)
             if l > 0 or not model.f_zero_at_zero:
                 sim_l = uz(l, xt_k, k1, params)
@@ -296,6 +364,8 @@ def build_full_history_uz(
                 ).reshape(B, mf)
                 u = u + dT * jnp.mean(y * wflat, axis=1, keepdims=True)
                 z = z + dT * _z_accum(y, eta, mf, model.center_z)
+                if want_var:
+                    samp = samp + y * wflat
             if l:
                 key, k2 = jax.random.split(key)
                 if l - 1 > 0 or not model.f_zero_at_zero:
@@ -305,15 +375,26 @@ def build_full_history_uz(
                     ).reshape(B, mf)
                     u = u - dT * jnp.mean(y2 * wflat, axis=1, keepdims=True)
                     z = z - dT * _z_accum(y2, eta, mf, model.center_z)
+                    if want_var:
+                        samp = samp - y2 * wflat
             elif model.leaf is not None:
                 eps = model.leaf(params, xt_k).reshape(B, mf)
                 u = u + dT * jnp.mean(eps * wflat, axis=1, keepdims=True)
                 z = z + dT * _z_accum(eps, eta, mf, model.center_z)
+                if want_var:
+                    samp = samp + eps * wflat
+            if want_var:
+                # per-level u contribution is dT * mean(samp); the levels use
+                # independent samples so their variances add
+                var = var + dT * dT * _sample_var_of_mean(samp, mf)
 
         out = jnp.concatenate([u, z], axis=1)
-        return jnp.clip(out, -model.clip, model.clip)
+        out = jnp.clip(out, -model.clip, model.clip)
+        if want_var:
+            out = jnp.concatenate([out, var], axis=1)  # var column unclipped
+        return out
 
     def fn(x_t, key, params):
-        return uz(n, x_t, key, params)
+        return uz(n, x_t, key, params, want_var=want_variance)
 
     return fn

@@ -40,13 +40,29 @@ from scasml_gp_tpu.picard.schedule import (
 class _ScaSMLBase(_PicardBase):
     def __init__(self, equation, gp: GP, batch_chunk=None, center_z=None,
                  time_sampling=None, precision=None, mesh=None,
-                 debug_checks=False):
+                 debug_checks=False, variance_guard=None):
         super().__init__(equation, batch_chunk=batch_chunk,
                          center_z=center_z, time_sampling=time_sampling,
                          precision=precision, mesh=mesh,
                          debug_checks=debug_checks)
         self.GP = gp
         self.eval_chunk = gp.eval_chunk
+        # Variance-guarded correction (VERDICT round-2 #5): estimate the MC
+        # variance of u_breve inside the rollout (one extra output column)
+        # and SHRINK the correction toward zero when it is statistically
+        # indistinguishable from its own noise — positive-part James-Stein
+        # over the batch, lambda = max(0, 1 - sum var_i / sum u_breve_i^2).
+        # With a converged surrogate the true correction is ~0 and the
+        # estimate is pure MC noise (worse, a gradient-quadratic f turns
+        # that noise into bias — the d=250 HJB 0.161 -> 0.204 regression);
+        # the guard abstains there and leaves genuinely informative
+        # corrections (lambda ~ 1) untouched.  Default comes from the
+        # equation (HJB sets variance_guard=True); explicit bool overrides.
+        self.variance_guard = (
+            getattr(equation, "variance_guard", False)
+            if variance_guard is None else variance_guard
+        )
+        self.last_lambda = None  # shrink factor of the latest u_solve
 
     def _params(self):
         if self.GP.state is None:
@@ -95,6 +111,19 @@ class _ScaSMLBase(_PicardBase):
     def _u_hat(self, x_t) -> jax.Array:
         return self.GP.predict(x_t)
 
+    def _guarded_u(self, out, x_t) -> jax.Array:
+        """u_hat + lambda * u_breve with the James-Stein shrink computed
+        from the rollout's variance column (no-op when the guard is off)."""
+        u_breve = out[:, :1]
+        if not self.variance_guard:
+            return self._u_hat(x_t) + u_breve
+        var = out[:, -1:]
+        num = jnp.sum(var)
+        den = jnp.sum(u_breve * u_breve)
+        lam = jnp.clip(1.0 - num / jnp.maximum(den, 1e-30), 0.0, 1.0)
+        self.last_lambda = float(lam)
+        return self._u_hat(x_t) + lam * u_breve
+
 
 class ScaSML(_ScaSMLBase):
     """Quadrature ScaSML (reference ``solvers/ScaSML.py``)."""
@@ -102,7 +131,10 @@ class ScaSML(_ScaSMLBase):
     def _build(self, schedule_key):
         n, rho = schedule_key
         tables = approx_parameters(rho, self.T)
-        return build_quadrature_uz(self._model(), n, rho, tables)
+        return build_quadrature_uz(
+            self._model(), n, rho, tables,
+            want_variance=self.variance_guard,
+        )
 
     def uz_solve(self, n: int, rho: int, x_t) -> jax.Array:
         out = self._run((int(n), int(rho)), x_t)
@@ -112,9 +144,9 @@ class ScaSML(_ScaSMLBase):
         return out
 
     def u_solve(self, n: int, rho: int, x_t) -> jax.Array:
-        """u_hat + u_breve (reference solvers/ScaSML.py:286-304)."""
-        u_breve = self.uz_solve(n, rho, x_t)[:, :1]
-        return self._u_hat(x_t) + u_breve
+        """u_hat + [lambda] u_breve (reference solvers/ScaSML.py:286-304;
+        lambda is the optional variance-guard shrink)."""
+        return self._guarded_u(self.uz_solve(n, rho, x_t), x_t)
 
 
 class ScaSMLFullHistory(_ScaSMLBase):
@@ -122,7 +154,9 @@ class ScaSMLFullHistory(_ScaSMLBase):
 
     def _build(self, schedule_key):
         n, M = schedule_key
-        return build_full_history_uz(self._model(), n, M)
+        return build_full_history_uz(
+            self._model(), n, M, want_variance=self.variance_guard
+        )
 
     def uz_solve(self, n: int, rho: int, x_t, M: int = 3) -> jax.Array:
         out = self._run((int(n), int(M)), x_t)
@@ -132,8 +166,7 @@ class ScaSMLFullHistory(_ScaSMLBase):
         return out
 
     def u_solve(self, n: int, rho: int, x_t, M: int = 3) -> jax.Array:
-        u_breve = self.uz_solve(n, rho, x_t, M)[:, :1]
-        return self._u_hat(x_t) + u_breve
+        return self._guarded_u(self.uz_solve(n, rho, x_t, M), x_t)
 
 
 # Reference-spelling alias.
