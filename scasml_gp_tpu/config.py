@@ -35,15 +35,20 @@ class PrecisionPolicy:
     """
 
     gram: str = "float32"     # 'float32' | 'bfloat16'
-    rollout: str = "float32"  # 'float32' | 'bfloat16'
+    # 'float16' is a reference-parity probe (the reference draws its Brownian
+    # normals in half precision, solvers/MLP.py:179); TPU-native runs use
+    # 'bfloat16' for halved path traffic.
+    rollout: str = "float32"  # 'float32' | 'bfloat16' | 'float16'
 
     def __post_init__(self):
-        for field in ("gram", "rollout"):
+        allowed = {"gram": ("float32", "bfloat16"),
+                   "rollout": ("float32", "bfloat16", "float16")}
+        for field, ok in allowed.items():
             val = getattr(self, field)
-            if val not in ("float32", "bfloat16"):
+            if val not in ok:
                 raise ValueError(
-                    f"PrecisionPolicy.{field} must be 'float32' or "
-                    f"'bfloat16', got {val!r}"
+                    f"PrecisionPolicy.{field} must be one of {ok}, "
+                    f"got {val!r}"
                 )
 
     @property

@@ -64,6 +64,12 @@ def make_sharded_train_and_solve(
     msh = train_point_sharding(mesh)
     dim = eq.dim
     cfg = gp.config
+    # 2-D inference sharding (VERDICT round-2 #4): the test batch over
+    # 'data' AND the posterior's training-set contraction over 'model'
+    # (the rollout's internal posterior calls pick this up from the gp
+    # instance's mesh via GP._dom_sharding; the final u_hat eval here gets
+    # it explicitly).  Pair intermediates are then (n/Pd, N/Pm) per device.
+    shard_dom = gp._dom_sharding() if hasattr(gp, "_dom_sharding") else None
 
     def step(x_dom, x_bdy, x_test, key):
         bdy_g = eq.g(x_bdy)[:, 0].astype(jnp.float32)
@@ -90,7 +96,7 @@ def make_sharded_train_and_solve(
         uz = uz_fn(x_test_s, key, state)
         u_hat = posterior_eval(
             x_test_s, state.x_dom, state.x_bdy, state.right_vector,
-            state.gamma, dim,
+            state.gamma, dim, shard_dom=shard_dom,
         ).u[:, None]
         return u_hat + uz[:, :1]
 

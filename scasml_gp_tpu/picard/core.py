@@ -67,6 +67,15 @@ class PicardModel(NamedTuple):
     # traffic; the u/z accumulators, weights and all reductions stay fp32
     # (PrecisionPolicy.rollout; VERDICT.md Next-round #3).
     path_dtype: str = "float32"
+    # Reference-RNG parity probe (VERDICT round-2 #7): the reference's
+    # terminal pass derives its normals from PRNGKey(0) at EVERY tree node
+    # (solvers/MLP.py:167-179) — all calls with the same (rows, mc) shape
+    # reuse identical draws.  That bug is accidentally a common-random-
+    # numbers coupling: sim_l and sim_{l-1} share terminal noise, so the
+    # telescoped difference f(sim_l) - f(sim_{l-1}) has REDUCED variance
+    # (free MLMC coupling).  True reproduces it (fixed PRNGKey(0) terminal
+    # key); False (default) uses properly split independent keys.
+    terminal_crn: bool = False
     # f applied to the level-0 (identically zero) Picard estimate is itself
     # identically zero.  True for the ScaSML residual generator: f_breve(x,
     # 0, 0) = f(x, u_hat, sigma grad u_hat) - f(x, u_hat, sigma grad u_hat)
@@ -115,6 +124,8 @@ def _terminal_pass(
     B = x.shape[0]
     dim = model.dim
     pd = jnp.dtype(model.path_dtype)
+    if model.terminal_crn:
+        key = jax.random.PRNGKey(0)  # reference semantics: frozen per shape
     dT = (model.T - t)[:, None]
     u_sum = jnp.zeros((B, 1), jnp.float32)
     usq_sum = jnp.zeros((B, 1), jnp.float32)

@@ -33,7 +33,8 @@ class _PicardBase:
     def __init__(self, equation: Equation, batch_chunk: Optional[int] = None,
                  center_z: Optional[bool] = None,
                  time_sampling: Optional[str] = None,
-                 precision=None, mesh=None, debug_checks: bool = False):
+                 precision=None, mesh=None, debug_checks: bool = False,
+                 terminal_crn: bool = False):
         self.equation = equation
         # PrecisionPolicy.rollout -> Brownian path storage dtype (bf16 opt-in)
         from scasml_gp_tpu.config import PrecisionPolicy
@@ -67,6 +68,9 @@ class _PicardBase:
         # non-finite value raises a LOCALIZED error (op + traceback) instead
         # of surfacing only as a harness NaN mask (SURVEY §5 sanitizers).
         self.debug_checks = debug_checks
+        # reference-RNG parity probe: frozen PRNGKey(0) terminal draws at
+        # every tree node (see core.PicardModel.terminal_crn)
+        self.terminal_crn = terminal_crn
         self._cache: Dict[Tuple, Callable] = {}
 
     # -- overridden by ScaSML variants --
@@ -88,6 +92,7 @@ class _PicardBase:
             time_sampling=self.time_sampling,
             terminal_z=self.terminal_z,
             path_dtype=self.precision.rollout,
+            terminal_crn=self.terminal_crn,
         )
 
     def _build(self, schedule_key: Tuple) -> Callable:

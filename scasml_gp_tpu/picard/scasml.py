@@ -40,11 +40,12 @@ from scasml_gp_tpu.picard.schedule import (
 class _ScaSMLBase(_PicardBase):
     def __init__(self, equation, gp: GP, batch_chunk=None, center_z=None,
                  time_sampling=None, precision=None, mesh=None,
-                 debug_checks=False, variance_guard=None):
+                 debug_checks=False, variance_guard=None,
+                 terminal_crn=False):
         super().__init__(equation, batch_chunk=batch_chunk,
                          center_z=center_z, time_sampling=time_sampling,
                          precision=precision, mesh=mesh,
-                         debug_checks=debug_checks)
+                         debug_checks=debug_checks, terminal_crn=terminal_crn)
         self.GP = gp
         self.eval_chunk = gp.eval_chunk
         # Variance-guarded correction (VERDICT round-2 #5): estimate the MC
@@ -102,6 +103,7 @@ class _ScaSMLBase(_PicardBase):
             time_sampling=self.time_sampling,
             terminal_z=self.terminal_z,
             path_dtype=self.precision.rollout,
+            terminal_crn=self.terminal_crn,
             # f_breve(x, 0, 0) is bitwise zero (val1 == val2), so the
             # builders skip the level-0 f sweep — a full posterior+gradient
             # evaluation at the largest mf of every level — exactly.
