@@ -26,6 +26,27 @@ the reference `SCaSML_GP` codebase (see SURVEY.md):
                    driver scripts.
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: first compiles through the TPU relay cost
+# 20-60 s per big program (CLAUDE.md "Environment gotchas"); caching them on
+# disk makes every subsequent process start warm.  Opt out with
+# SCASML_NO_COMPILE_CACHE=1 (e.g. when benchmarking cold-compile time).
+if not _os.environ.get("SCASML_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "SCASML_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),
+                      ".jax_cache"),
+    )
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # older jax without the knobs: run uncached
+        pass
+
 from scasml_gp_tpu.config import (
     PrecisionPolicy,
     RunConfig,

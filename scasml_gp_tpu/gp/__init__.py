@@ -30,6 +30,11 @@ from scasml_gp_tpu.gp.solver import (
     GradDependentForm,
 )
 from scasml_gp_tpu.gp.state import GPState, load_state, save_state
+from scasml_gp_tpu.gp.variance import (
+    cross_phi,
+    factor_for_variance,
+    posterior_variance,
+)
 
 __all__ = [
     "PHI_OPS",
@@ -59,4 +64,7 @@ __all__ = [
     "GPState",
     "load_state",
     "save_state",
+    "cross_phi",
+    "factor_for_variance",
+    "posterior_variance",
 ]

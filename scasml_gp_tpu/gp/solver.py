@@ -487,6 +487,38 @@ class GP:
         self._require_state()
         return self.residual_u(self.state, x_t_infer)
 
+    def predict_std(self, x_t_infer) -> jax.Array:
+        """Posterior standard deviation, shape (n, 1).
+
+        New capability beyond the reference (it carries only a FIXED
+        uncertainty constant, ``solvers/ScaSML.py:282-284``): the
+        conditional-Gaussian variance of the PDE-collocation model
+        (gp/variance.py).  The (K + nugget I)^{-1} factor is rebuilt once per
+        trained state and cached on the instance."""
+        self._require_state()
+        from scasml_gp_tpu.gp.variance import (
+            factor_for_variance,
+            posterior_variance,
+        )
+
+        if getattr(self, "_var_cache_for", None) is not self.state:
+            self._var_C = factor_for_variance(
+                self.state.x_dom, self.state.x_bdy, self.state.gamma,
+                self.nugget, self.d, self.precision.gram,
+            )
+            self._var_cache_for = self.state
+        var = posterior_variance(
+            jnp.asarray(x_t_infer, jnp.float32),
+            self.state.x_dom, self.state.x_bdy, self._var_C,
+            self.state.gamma, self.d, chunk=self.eval_chunk,
+            operand_dtype=self.precision.gram,
+        )
+        return jnp.sqrt(var)[:, None]
+
+    def predict_with_std(self, x_t_infer):
+        """(posterior mean, posterior std), each shape (n, 1)."""
+        return self.predict(x_t_infer), self.predict_std(x_t_infer)
+
 
 class GPGradDependentNonlinear(GP):
     """GP surrogate for GradDependentNonlinear

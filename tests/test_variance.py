@@ -1,0 +1,121 @@
+"""GP posterior variance (gp/variance.py).
+
+New capability beyond the reference (which only carries a fixed
+``equation.uncertainty`` clip constant, solvers/ScaSML.py:282-284): verify the
+conditional-Gaussian variance against a from-scratch dense implementation with
+autodiff-built cross kernels, plus the API/caching behavior on the solver.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scasml_gp_tpu.config import GPConfig
+from scasml_gp_tpu.equations import GradDependentNonlinear
+from scasml_gp_tpu.gp.gram import gram_matrix
+from scasml_gp_tpu.gp.kernels import PHI_OPS, ID, kernel_gammas
+from scasml_gp_tpu.gp.solver import GPGradDependentNonlinear
+from scasml_gp_tpu.gp.variance import (
+    cross_phi,
+    factor_for_variance,
+    posterior_variance,
+)
+
+from tests.test_kernels import apply_op, make_kappa
+
+DIM = 3
+NUGGET = 1e-2
+
+
+@pytest.fixture(scope="module")
+def tiny_sets():
+    key = jax.random.PRNGKey(7)
+    kd, kb, kt = jax.random.split(key, 3)
+    x_dom = jax.random.uniform(kd, (12, DIM + 1), minval=-0.5, maxval=0.5)
+    x_bdy = jax.random.uniform(kb, (5, DIM + 1), minval=-0.5, maxval=0.5)
+    x = jax.random.uniform(kt, (9, DIM + 1), minval=-0.5, maxval=0.5)
+    return x, x_dom, x_bdy
+
+
+@pytest.mark.parametrize(
+    "gamma",
+    [
+        kernel_gammas(0.25, DIM),                               # reference iso
+        kernel_gammas(0.25, DIM, time_scale=0.7, ridge_scale=8.0),
+    ],
+    ids=["iso", "ridge"],
+)
+def test_variance_matches_dense_autodiff_reference(tiny_sets, gamma):
+    """var = 1 - k^T (K+eta I)^{-1} k with k built by NESTED AUTODIFF (the
+    reference's construction style) and a plain dense solve."""
+    x, x_dom, x_bdy = tiny_sets
+    kappa = make_kappa(gamma)
+
+    # cross vector blocks: ID on the x side, phi ops on the y side
+    cols = []
+    for b, pts in zip(PHI_OPS, (x_dom, x_bdy, x_dom, x_dom, x_dom)):
+        fun = apply_op(apply_op(kappa, ID, 0), b, 1)
+        block = jax.vmap(
+            lambda xi: jax.vmap(lambda yj: fun(xi, yj))(pts)
+        )(x)
+        cols.append(block)
+    kx_ref = jnp.concatenate(cols, axis=1)
+
+    kx = cross_phi(x, x_dom, x_bdy, jnp.asarray(gamma, jnp.float32), DIM)
+    np.testing.assert_allclose(
+        np.asarray(kx), np.asarray(kx_ref), rtol=2e-4, atol=2e-4
+    )
+
+    K = gram_matrix(x_dom, x_bdy, jnp.asarray(gamma, jnp.float32), DIM)
+    K = 0.5 * (K + K.T) + NUGGET * jnp.eye(K.shape[0])
+    sol = jnp.linalg.solve(K, kx_ref.T)
+    var_ref = 1.0 - jnp.sum(kx_ref * sol.T, axis=1)
+
+    C = factor_for_variance(x_dom, x_bdy, gamma, NUGGET, DIM)
+    var = posterior_variance(x, x_dom, x_bdy, C, gamma, DIM)
+    np.testing.assert_allclose(
+        np.asarray(var), np.asarray(var_ref), rtol=5e-3, atol=5e-4
+    )
+    assert np.all(np.asarray(var) >= 0.0)
+
+
+def test_variance_chunked_matches_unchunked(tiny_sets):
+    x, x_dom, x_bdy = tiny_sets
+    gamma = kernel_gammas(0.25, DIM)
+    C = factor_for_variance(x_dom, x_bdy, gamma, NUGGET, DIM)
+    v_full = posterior_variance(x, x_dom, x_bdy, C, gamma, DIM)
+    v_chunk = posterior_variance(x, x_dom, x_bdy, C, gamma, DIM, chunk=4)
+    np.testing.assert_allclose(
+        np.asarray(v_full), np.asarray(v_chunk), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_predict_std_contracts_at_training_points():
+    """Posterior std at the training interior points must sit well below the
+    prior (=1) and below the std at fresh points; retraining on MORE data
+    must not raise the mean variance (information only accumulates)."""
+    d = 4
+    eq = GradDependentNonlinear(n_input=d + 1)
+    gp = GPGradDependentNonlinear(eq, GPConfig(gn_steps=4))
+    x_dom, x_bdy = eq.generate_data(60, 14, key=jax.random.PRNGKey(0))
+    gp.GPsolver(x_dom, x_bdy)
+
+    std_train = np.asarray(gp.predict_std(x_dom))
+    assert std_train.shape == (60, 1)
+    x_new = eq.geometry().sample_domain(jax.random.PRNGKey(5), 64)
+    std_new = np.asarray(gp.predict_std(x_new))
+    assert std_train.mean() < 0.2          # conditioned
+    assert std_train.mean() < std_new.mean()
+    assert np.all(std_new <= 1.0 + 1e-5)   # never above the prior
+
+    mean, std = gp.predict_with_std(x_new)
+    assert mean.shape == std.shape == (64, 1)
+
+    # cache invalidates on retrain; a denser set shrinks the variance
+    xd2 = jnp.concatenate(
+        [x_dom, eq.geometry().sample_domain(jax.random.PRNGKey(9), 60)]
+    )
+    gp.GPsolver(xd2, x_bdy)
+    std_dense = np.asarray(gp.predict_std(x_new))
+    assert std_dense.mean() <= std_new.mean() + 1e-3
