@@ -73,9 +73,13 @@ class PicardModel(NamedTuple):
     # reuse identical draws.  That bug is accidentally a common-random-
     # numbers coupling: sim_l and sim_{l-1} share terminal noise, so the
     # telescoped difference f(sim_l) - f(sim_{l-1}) has REDUCED variance
-    # (free MLMC coupling).  True reproduces it (fixed PRNGKey(0) terminal
-    # key); False (default) uses properly split independent keys.
-    terminal_crn: bool = False
+    # (free MLMC coupling) — but the estimate keeps the luck of ONE noise
+    # realization instead of averaging it out.  True reproduces it (fixed
+    # PRNGKey(0) terminal key); an int freezes PRNGKey(int) instead, so the
+    # parity probe can measure the ACROSS-REALIZATION spread of the frozen
+    # estimator (scripts/quadrature_parity.py --frozen-seeds); False
+    # (default) uses properly split independent keys.
+    terminal_crn: "bool | int" = False
     # f applied to the level-0 (identically zero) Picard estimate is itself
     # identically zero.  True for the ScaSML residual generator: f_breve(x,
     # 0, 0) = f(x, u_hat, sigma grad u_hat) - f(x, u_hat, sigma grad u_hat)
@@ -124,8 +128,11 @@ def _terminal_pass(
     B = x.shape[0]
     dim = model.dim
     pd = jnp.dtype(model.path_dtype)
-    if model.terminal_crn:
-        key = jax.random.PRNGKey(0)  # reference semantics: frozen per shape
+    if model.terminal_crn is not False:
+        # reference semantics: frozen per shape (True -> the reference's
+        # literal PRNGKey(0); an int seed probes other frozen realizations)
+        seed = 0 if model.terminal_crn is True else int(model.terminal_crn)
+        key = jax.random.PRNGKey(seed)
     dT = (model.T - t)[:, None]
     u_sum = jnp.zeros((B, 1), jnp.float32)
     usq_sum = jnp.zeros((B, 1), jnp.float32)

@@ -72,6 +72,11 @@ def main():
     ap.add_argument("--num-domain", type=int, default=1000)
     ap.add_argument("--num-boundary", type=int, default=200)
     ap.add_argument("--out", default="reports/quadrature_parity.json")
+    ap.add_argument("--frozen-seeds", type=int, default=0,
+                    help="additionally sweep K frozen terminal-noise "
+                         "realizations (terminal_crn=seed) at 10 reps each "
+                         "to measure the ACROSS-REALIZATION spread of the "
+                         "reference's frozen estimator")
     args = ap.parse_args()
 
     from scasml_gp_tpu.config import PrecisionPolicy
@@ -91,6 +96,23 @@ def main():
         "round2_ours_10rep": {"mean": 0.1660, "std": 0.007},
         "variants": rows,
     }
+    if args.frozen_seeds:
+        # the reference's protocol: ONE frozen noise realization, 10 reps of
+        # fresh test sets.  Sweeping the frozen seed measures how much the
+        # resulting 10-rep mean itself scatters across realizations.
+        sweep = [
+            run_variant(f"frozen_seed_{s}", args.dim, 10, args.num_domain,
+                        args.num_boundary, terminal_crn=s)
+            for s in range(args.frozen_seeds)
+        ]
+        means = np.asarray([r["mean"] for r in sweep], np.float64)
+        out["frozen_realization_sweep"] = {
+            "per_seed": sweep,
+            "mean_of_means": float(means.mean()),
+            "std_of_means": float(means.std(ddof=1)),
+            "min": float(means.min()),
+            "max": float(means.max()),
+        }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=2)

@@ -11,6 +11,10 @@ import os
 # remote TPU backend (e.g. "axon"), which would route every tiny test compile
 # through a device tunnel.  Must happen before the first backend init.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# No persistent compile cache under tests: XLA:CPU AOT cache entries record
+# the compile machine's feature set and can SIGILL when loaded on a
+# different host (and test compiles are tiny anyway).
+os.environ["SCASML_NO_COMPILE_CACHE"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
