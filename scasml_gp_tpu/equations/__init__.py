@@ -1,11 +1,12 @@
 from scasml_gp_tpu.equations.base import Equation, HypercubeGeometry
 from scasml_gp_tpu.equations.grad_dependent import GradDependentNonlinear
-from scasml_gp_tpu.equations.extra import AllenCahn, HJB
+from scasml_gp_tpu.equations.extra import AllenCahn, HJB, SineNonlinear
 
 EQUATIONS = {
     "GradDependentNonlinear": GradDependentNonlinear,
     "AllenCahn": AllenCahn,
     "HJB": HJB,
+    "SineNonlinear": SineNonlinear,
 }
 
 __all__ = [
@@ -14,5 +15,6 @@ __all__ = [
     "GradDependentNonlinear",
     "AllenCahn",
     "HJB",
+    "SineNonlinear",
     "EQUATIONS",
 ]

@@ -95,6 +95,84 @@ class HJB(Equation):
         return (-lme)[:, None]
 
 
+class SineNonlinear(Equation):
+    """Semilinear sine benchmark with a manufactured closed-form solution
+    (new family beyond the reference; same protocol as the reference's
+    ``Grad_Dependent_Nonlinear``, equations/equations.py:232-417).
+
+    PDE (framework convention, base.py:82):
+
+        u_t + mu * sum_i u_xi + (sigma^2/2) Lap u + f(x_t, u, sigma grad u) = 0
+
+    with  f(x_t, u, z) = sin(u) + (1/d) sum_i z_i + R(x_t),
+          mu = -1/(2d),  sigma = 0.25,
+    on [-0.5, 0.5]^d x [0, 0.5].  The forcing R is chosen so that
+
+        u*(x, t) = sin(s),   s = t + (1/d) sum_i x_i
+
+    solves the PDE exactly; unlike every other implemented family, f has an
+    EXPLICIT x_t dependence, which exercises the rhs_f path of the GP
+    collocation form (reference models/GP.py:700-702, identically zero
+    there) and the x_t argument of the Picard generator.  The sin(u)
+    nonlinearity is globally Lipschitz, the classical well-posedness case
+    of the multilevel-Picard convergence theory.
+    """
+
+    def __init__(self, n_input: int, n_output: int = 1):
+        super().__init__(n_input, n_output)
+        # |u*| <= 1; clip with headroom (reference norm_estimation semantics,
+        # equations/equations.py:246)
+        self.norm_estimation = 2.0
+        self.uncertainty = 1e-1
+
+    def sigma(self, x_t=0):
+        return 0.25
+
+    def mu(self, x_t=0):
+        return -0.5 / self.dim
+
+    def _phase(self, x_t: jax.Array) -> jax.Array:
+        """s = t + (1/d) sum_i x_i, shape (batch,)."""
+        return x_t[:, -1] + jnp.mean(x_t[:, :-1], axis=1)
+
+    def forcing(self, x_t: jax.Array) -> jax.Array:
+        """R(x_t), shape (batch,): the manufactured source that makes
+        u* = sin(s) exact.  Derived from the PDE with
+        u*_t = cos s, sum_i u*_xi = cos s, Lap u* = -sin(s)/d,
+        z* = (sigma/d) cos(s) per coordinate:
+
+            R = -(1 + mu + sigma/d) cos s + (sigma^2/(2d)) sin s - sin(sin s)
+        """
+        s = self._phase(x_t)
+        sig, mu, d = self.sigma(), self.mu(), self.dim
+        return (
+            -(1.0 + mu + sig / d) * jnp.cos(s)
+            + (sig**2 / (2.0 * d)) * jnp.sin(s)
+            - jnp.sin(jnp.sin(s))
+        )
+
+    def f(self, x_t, u, z):
+        return (
+            jnp.sin(u)
+            + jnp.mean(z, axis=1, keepdims=True)
+            + self.forcing(x_t)[:, None]
+        )
+
+    def terminal_constraint(self, x_t):
+        # exact solution holds at any (x, t): lateral boundary_mode is valid,
+        # matching the reference family's semantics (equations.py:249-261)
+        return self.exact_solution(x_t)
+
+    def exact_solution(self, x_t):
+        return jnp.sin(self._phase(x_t))[:, None]
+
+    def exact_solution_derivative(self, x_t):
+        s = self._phase(x_t)
+        return jnp.broadcast_to(
+            (jnp.cos(s) / self.dim)[:, None], (x_t.shape[0], self.dim)
+        )
+
+
 class AllenCahn(Equation):
     """Allen-Cahn: u_t + Lap u + u - u^3 = 0, u(x,T) = 1/(2 + 0.4 |x|^2)."""
 

@@ -27,6 +27,7 @@ from scasml_gp_tpu.gp.solver import (
     GPAllenCahn,
     GPForm,
     GPGradDependentNonlinear,
+    GPSineNonlinear,
     GradDependentForm,
 )
 from scasml_gp_tpu.gp.state import GPState, load_state, save_state
@@ -60,6 +61,7 @@ __all__ = [
     "AllenCahnForm",
     "GPGradDependentNonlinear",
     "GPAllenCahn",
+    "GPSineNonlinear",
     "GPHJBColeHopf",
     "GPState",
     "load_state",

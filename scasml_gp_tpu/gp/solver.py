@@ -119,6 +119,46 @@ class AllenCahnForm(GPForm):
         return dt_u + (sig2 / 2.0) * lap_u + (u - u**3)
 
 
+class SineForm(GPForm):
+    """Mixin for SineNonlinear (manufactured forcing — the one family with a
+    nonzero ``rhs_f``, exercising the reference's rhs path,
+    models/GP.py:700-702):  F = -(mu + sigma/d) z5 - (sigma^2/2) z3
+    - sin(z1) + rhs,  rhs = -R(x)."""
+
+    def rhs_f(self, x_dom):
+        return (-self.equation.forcing(x_dom)).astype(jnp.float32)
+
+    def F(self, z1, z3, z5, rhs):
+        eq = self.equation
+        sig = eq.sigma()
+        c5 = eq.mu() + sig / eq.dim
+        return -c5 * z5 - (sig**2 / 2.0) * z3 - jnp.sin(z1) + rhs
+
+    def dF(self, z1, z3, z5):
+        eq = self.equation
+        sig = eq.sigma()
+        ones = jnp.ones_like(z1)
+        return (
+            -jnp.cos(z1),
+            -(sig**2 / 2.0) * ones,
+            -(eq.mu() + sig / eq.dim) * ones,
+        )
+
+    def d2F_contraction(self, w, z1, z3, z5):
+        return {(0, 0): jnp.sin(z1) * w}
+
+    def residual(self, x, u, dt_u, div_u, lap_u):
+        eq = self.equation
+        sig = eq.sigma()
+        return (
+            dt_u
+            + (eq.mu() + sig / eq.dim) * div_u
+            + (sig**2 / 2.0) * lap_u
+            + jnp.sin(u)
+            + eq.forcing(x)
+        )
+
+
 class _TrainOut(NamedTuple):
     sol: jax.Array
     right_vector: jax.Array
@@ -531,3 +571,9 @@ class GPAllenCahn(GP):
     """GP surrogate for AllenCahn (new capability beyond the reference)."""
 
     form_cls = AllenCahnForm
+
+
+class GPSineNonlinear(GP):
+    """GP surrogate for SineNonlinear (new capability beyond the reference)."""
+
+    form_cls = SineForm

@@ -20,7 +20,11 @@ import sys
 from scasml_gp_tpu.config import RunConfig
 from scasml_gp_tpu.equations import EQUATIONS
 from scasml_gp_tpu.gp.cole_hopf import GPHJBColeHopf
-from scasml_gp_tpu.gp.solver import GPAllenCahn, GPGradDependentNonlinear
+from scasml_gp_tpu.gp.solver import (
+    GPAllenCahn,
+    GPGradDependentNonlinear,
+    GPSineNonlinear,
+)
 from scasml_gp_tpu.harness.computing_budget import ComputingBudget
 from scasml_gp_tpu.harness.convergence_rate import ConvergenceRate
 from scasml_gp_tpu.harness.inference_scaling import InferenceScaling
@@ -43,6 +47,7 @@ GP_CLASSES = {
     "GradDependentNonlinear": GPGradDependentNonlinear,
     "AllenCahn": GPAllenCahn,
     "HJB": GPHJBColeHopf,
+    "SineNonlinear": GPSineNonlinear,
 }
 
 
@@ -116,7 +121,8 @@ def resolve_tune(tune_flag, ridge_scale, time_scale, fit_ml, equation):
     return (
         not explicit_kernel
         and not fit_ml
-        and equation in ("GradDependentNonlinear", "AllenCahn")
+        and equation in ("GradDependentNonlinear", "AllenCahn",
+                         "SineNonlinear")
     )
 
 
