@@ -1,0 +1,253 @@
+"""Production serving for trained surrogates.
+
+The reference has no deployment story at all: a trained GP lives in object
+attributes of one Python process (models/GP.py:191-192,600) and every
+prediction re-enters eager JAX. This module adds the missing subsystem:
+
+- :func:`save_surrogate` / :func:`load_surrogate` — a self-describing
+  checkpoint directory (GPState npz + a JSON manifest naming the equation
+  and GPConfig) so a surrogate trained by one process/host can be served
+  by another without retraining;
+- :class:`SurrogateServer` — batched inference with **static-shape
+  bucketing**: requests are padded up to a small set of pre-declared batch
+  sizes so XLA compiles one program per bucket (a TPU serving requirement —
+  data-dependent shapes would recompile per request, 20-60 s through a
+  device relay), oversized requests are chunked through the largest bucket;
+- :func:`serve_http` — a minimal stdlib HTTP front end (POST /predict,
+  /solve, /gradient; GET /healthz, /stats) for network serving without any
+  extra dependency.
+
+The hot path is the same fused posterior / calibrated rollout the harnesses
+use; serving adds only padding, slicing and bookkeeping on the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from scasml_gp_tpu.config import GPConfig
+from scasml_gp_tpu.gp.state import GPState, load_state, save_state
+
+
+def save_surrogate(path: str, gp) -> None:
+    """Checkpoint a trained GP (state + manifest) into directory ``path``."""
+    if gp.state is None:
+        raise ValueError("GP has no trained state; run GPsolver first")
+    if not isinstance(gp.state, GPState):
+        raise TypeError(
+            f"serving supports standard GPState surrogates, got "
+            f"{type(gp.state).__name__}"
+        )
+    os.makedirs(path, exist_ok=True)
+    save_state(os.path.join(path, "state.npz"), gp.state)
+    manifest = {
+        "equation": type(gp.equation).__name__,
+        "n_input": gp.equation.n_input,
+        "gp_config": dataclasses.asdict(gp.config),
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+
+
+def load_surrogate(path: str, precision=None, mesh=None):
+    """Reconstruct a trained GP from a :func:`save_surrogate` directory."""
+    # registries live next to the CLI; importing here avoids a module cycle
+    from scasml_gp_tpu.equations import EQUATIONS
+    from scasml_gp_tpu.harness.runner import GP_CLASSES
+
+    with open(os.path.join(path, "manifest.json")) as fh:
+        manifest = json.load(fh)
+    eq = EQUATIONS[manifest["equation"]](n_input=manifest["n_input"])
+    gp = GP_CLASSES[manifest["equation"]](
+        eq, GPConfig(**manifest["gp_config"]), precision=precision, mesh=mesh
+    )
+    gp.state = load_state(os.path.join(path, "state.npz"))
+    return gp
+
+
+class SurrogateServer:
+    """Bucketed batch inference over a trained GP (+ optional ScaSML).
+
+    ``buckets`` are the compiled batch sizes, ascending. A request of n rows
+    runs in the smallest bucket >= n (padded by repeating the last row —
+    pad rows are computed and discarded, never returned); n larger than the
+    biggest bucket is chunked through it. Each (endpoint, bucket) pair
+    compiles once and is reused for the lifetime of the server.
+    """
+
+    def __init__(self, gp, scasml=None,
+                 buckets: Sequence[int] = (256, 1024, 4096),
+                 n: int = 2, rho: Optional[int] = 2, M: int = 3):
+        if gp.state is None:
+            raise ValueError("GP has no trained state")
+        self.gp = gp
+        self.scasml = scasml
+        self.buckets = tuple(sorted(int(b) for b in buckets))
+        if not self.buckets:
+            raise ValueError("need at least one bucket size")
+        self.n, self.rho, self.M = n, rho, M
+        self.requests = 0
+        self.rows = 0
+        self.endpoint_seconds = {}
+
+    # ---- padding machinery ----
+    def _run_bucketed(self, endpoint, fn, x, out_cols):
+        x = np.asarray(x, np.float32)
+        if x.ndim != 2 or x.shape[1] != self.gp.n_input:
+            raise ValueError(
+                f"expected (n, {self.gp.n_input}) points, got {x.shape}"
+            )
+        t0 = time.perf_counter()
+        n = x.shape[0]
+        cap = self.buckets[-1]
+        outs = []
+        for start in range(0, n, cap):
+            chunk = x[start:start + cap]
+            bucket = next(b for b in self.buckets if b >= chunk.shape[0])
+            pad = bucket - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], pad, axis=0)], axis=0
+                )
+            y = np.asarray(fn(jnp.asarray(chunk)))
+            y = y.reshape(bucket, -1)
+            outs.append(y[: bucket - pad])
+        out = np.concatenate(outs, axis=0)[:n, :out_cols]
+        self.requests += 1
+        self.rows += n
+        key = endpoint
+        self.endpoint_seconds[key] = (
+            self.endpoint_seconds.get(key, 0.0) + time.perf_counter() - t0
+        )
+        return out
+
+    # ---- endpoints ----
+    def predict(self, x) -> np.ndarray:
+        """GP posterior mean, (n, 1)."""
+        return self._run_bucketed("predict", self.gp.predict, x, 1)
+
+    def gradient(self, x) -> np.ndarray:
+        """GP posterior space-time gradient, (n, d+1)."""
+        return self._run_bucketed(
+            "gradient", self.gp.compute_gradient, x, self.gp.n_input
+        )
+
+    def solve(self, x) -> np.ndarray:
+        """ScaSML-calibrated solve (GP + Picard correction), (n, 1)."""
+        if self.scasml is None:
+            raise ValueError("server constructed without a ScaSML solver")
+
+        def run(chunk):
+            if self.rho is not None:
+                return self.scasml.u_solve(self.n, self.rho, chunk)
+            return self.scasml.u_solve(self.n, None, chunk, M=self.M)
+
+        return self._run_bucketed("solve", run, x, 1)
+
+    def warmup(self, endpoints=("predict",)) -> None:
+        """Compile every (endpoint, bucket) program up front."""
+        d1 = self.gp.n_input
+        for b in self.buckets:
+            x = np.zeros((b, d1), np.float32)
+            x[:, -1] = self.gp.T
+            for ep in endpoints:
+                getattr(self, ep)(x)
+
+    def stats(self) -> dict:
+        return {
+            "requests": self.requests,
+            "rows": self.rows,
+            "buckets": list(self.buckets),
+            "endpoint_seconds": dict(self.endpoint_seconds),
+        }
+
+
+def serve_http(server: SurrogateServer, host: str = "127.0.0.1",
+               port: int = 8080):
+    """Expose a :class:`SurrogateServer` over HTTP (stdlib only).
+
+    POST /predict | /solve | /gradient with body {"points": [[...], ...]}
+    -> {"values": [[...], ...]}; GET /healthz -> {"ok": true};
+    GET /stats -> counters. Returns the ThreadingHTTPServer (caller owns
+    shutdown); serve_forever runs on a daemon thread.
+    """
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # silence per-request stderr noise
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True})
+            elif self.path == "/stats":
+                self._reply(200, server.stats())
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                points = np.asarray(payload["points"], np.float32)
+                fn = {
+                    "/predict": server.predict,
+                    "/solve": server.solve,
+                    "/gradient": server.gradient,
+                }.get(self.path)
+                if fn is None:
+                    self._reply(404, {"error": f"unknown path {self.path}"})
+                    return
+                self._reply(200, {"values": fn(points).tolist()})
+            except Exception as exc:  # surface the failure to the client
+                self._reply(400, {"error": str(exc)})
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    return httpd
+
+
+def main(argv=None):
+    """CLI: serve a checkpoint directory over HTTP."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("checkpoint", help="save_surrogate directory")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--buckets", type=int, nargs="+", default=[256, 1024, 4096])
+    ap.add_argument("--warmup", action="store_true")
+    args = ap.parse_args(argv)
+
+    gp = load_surrogate(args.checkpoint)
+    server = SurrogateServer(gp, buckets=args.buckets)
+    if args.warmup:
+        server.warmup()
+    httpd = serve_http(server, args.host, args.port)
+    print(f"serving {args.checkpoint} on http://{args.host}:{args.port}",
+          flush=True)
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+
+
+if __name__ == "__main__":
+    main()
