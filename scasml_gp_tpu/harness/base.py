@@ -56,12 +56,20 @@ class HarnessBase:
 
     def _test_points(self, num_domain: int, num_boundary: int, seed: int):
         """Concatenated (domain + boundary) test set and its exact solution
-        (reference tests/SimpleUniform.py:84-87)."""
+        (reference tests/SimpleUniform.py:84-87). PDEs without a closed form
+        (Allen-Cahn) fall back to a deep multilevel-Picard reference solve
+        whose own error is far below the solvers under test, so every
+        harness runs on every registered equation."""
         dom, bdy = self.equation.generate_test_data(
             num_domain, num_boundary, key=jax.random.PRNGKey(seed)
         )
         x_test = jnp.concatenate([dom, bdy], axis=0)
-        exact = np.asarray(self.equation.exact_solution(x_test), np.float64)
+        try:
+            exact = np.asarray(self.equation.exact_solution(x_test), np.float64)
+        except NotImplementedError:
+            from scasml_gp_tpu.harness.metrics import mc_reference_solution
+
+            exact = mc_reference_solution(self.equation, x_test)
         return x_test, exact
 
     def _train_points(self, num_domain: int, num_boundary: int, seed: int):

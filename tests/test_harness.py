@@ -208,3 +208,22 @@ def test_runner_end_to_end(tmp_path):
         os.path.join(str(tmp_path), "GradDependentNonlinear", f"{D}d",
                      "full_history", "SimpleUniform", "metrics.json")
     )
+
+
+def test_exact_solution_fallback_to_mc_reference():
+    """Harnesses run on PDEs without a closed form: _test_points falls back
+    to the deep-Picard MC reference (Allen-Cahn raises NotImplementedError
+    from exact_solution)."""
+    import numpy as np
+
+    from scasml_gp_tpu.equations import AllenCahn
+    from scasml_gp_tpu.harness.base import HarnessBase
+
+    eq = AllenCahn(n_input=3)
+    h = HarnessBase(eq, None, None, None)
+    x_test, exact = h._test_points(24, 8, seed=0)
+    assert x_test.shape == (32, 3) and exact.shape == (32, 1)
+    assert np.isfinite(exact).all()
+    # terminal rows must be near g (the MC reference is exact at t = T)
+    g = np.asarray(eq.g(x_test[-8:]), np.float64)
+    np.testing.assert_allclose(exact[-8:], g, atol=5e-2)
