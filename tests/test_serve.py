@@ -136,3 +136,20 @@ def test_http_front_end(trained_gp):
             assert json.load(r)["requests"] >= 1
     finally:
         httpd.shutdown()
+
+
+def test_serve_mesh_sharded_surrogate(tmp_path, trained_gp):
+    """A checkpoint trained anywhere can be served model-sharded: the
+    reloaded GP gets a ('data','model') mesh and the bucketed server's
+    predictions match the replicated ones."""
+    from scasml_gp_tpu.parallel.mesh import make_mesh
+
+    eq, gp = trained_gp
+    path = str(tmp_path / "ckpt")
+    save_surrogate(path, gp)
+    gp_sharded = load_surrogate(path, mesh=make_mesh(1, 8))
+    server = SurrogateServer(gp_sharded, buckets=(64,))
+    x = eq.geometry().sample_domain(jax.random.PRNGKey(7), 50)
+    np.testing.assert_allclose(
+        server.predict(np.asarray(x)), np.asarray(gp.predict(x)), atol=2e-4
+    )
