@@ -113,14 +113,44 @@ class _ScaSMLBase(_PicardBase):
     def _u_hat(self, x_t) -> jax.Array:
         return self.GP.predict(x_t)
 
-    def _guarded_u(self, out, x_t) -> jax.Array:
+    def _guarded_u(self, out, x_t, u_breve_half=None) -> jax.Array:
         """u_hat + lambda * u_breve with the James-Stein shrink computed
-        from the rollout's variance column (no-op when the guard is off)."""
+        from the rollout's variance column (no-op when the guard is off).
+
+        The variance column sees only MC *variance*; a gradient-quadratic f
+        additionally turns z-estimator noise into a systematic BIAS
+        (E f(z + eps) != f(z)) that is invisible to any variance estimate.
+        That bias scales like an inverse power of the sample base M, so a
+        second rollout at M/2 exposes it: the systematic disagreement
+        delta = u_breve(M/2) - u_breve(M) is a (conservative, since
+        bias(M/2) - bias(M) >= bias(M) for 1/M^p scaling with p >= 1)
+        per-point bias proxy, and it joins the variance in the shrink
+        denominator. Signal-dominated corrections (repair regime) have
+        |u_breve| >> |delta| and keep lambda ~ 1."""
         u_breve = out[:, :1]
         if not self.variance_guard:
             return self._u_hat(x_t) + u_breve
-        var = out[:, -1:]
-        num = jnp.sum(var)
+        if u_breve_half is not None:
+            # Paired half-sample probes (two INDEPENDENT M/2 rollouts):
+            #   a - b      has the bias cancelled -> unbiased estimate of
+            #              2 Var_{M/2} (the rollout's own variance column
+            #              sees only the terminal pass and underestimates);
+            #   (a+b)/2 vs u_M isolates the bias difference
+            #              beta_{M/2} - beta_M, which bounds ||beta_M||
+            #              from above for any 1/M^p bias scaling (p >= 1).
+            # A gradient-quadratic f turns z-estimator noise into exactly
+            # such a bias (the d=250 HJB regression); no variance column
+            # can see it, the probe pair can.
+            a, b = u_breve_half
+            var_half = 0.5 * jnp.sum((a - b) ** 2)
+            var_m = 0.25 * var_half          # ~1/M^2 terminal-MC scaling
+            delta = 0.5 * (a + b) - u_breve
+            bias_sq = jnp.maximum(
+                jnp.sum(delta * delta) - 0.5 * var_half - var_m, 0.0
+            )
+            num = var_m + bias_sq
+        else:
+            num = jnp.sum(out[:, -1:])
         den = jnp.sum(u_breve * u_breve)
         lam = jnp.clip(1.0 - num / jnp.maximum(den, 1e-30), 0.0, 1.0)
         self.last_lambda = float(lam)
@@ -168,7 +198,15 @@ class ScaSMLFullHistory(_ScaSMLBase):
         return out
 
     def u_solve(self, n: int, rho: int, x_t, M: int = 3) -> jax.Array:
-        return self._guarded_u(self.uz_solve(n, rho, x_t, M), x_t)
+        out = self.uz_solve(n, rho, x_t, M)
+        u_half = None
+        if self.variance_guard and M >= 4:
+            # paired independent half-sample probes (2 x (1/2)^n of the
+            # main rollout's work; the stateful key advances per call)
+            a = self.uz_solve(n, rho, x_t, M // 2)[:, :1]
+            b = self.uz_solve(n, rho, x_t, M // 2)[:, :1]
+            u_half = (a, b)
+        return self._guarded_u(out, x_t, u_breve_half=u_half)
 
 
 # Reference-spelling alias.
