@@ -198,11 +198,12 @@ def gram_case(N, Nb, d, peaks):
     K = gram_matrix(x_dom, x_bdy, gamma, d)
     fn_f = lambda KK: regularized_factorization(KK, jnp.float32(1e-2))[1]
     t_f = device_loop_time(fn_f, K, iters=32, base_iters=8)
-    # cholesky (phi^3/3) + 2 jittered retries + triangular solve w/ phi rhs
+    # ONE cholesky (phi^3/3; the escalating-jitter retries live in a
+    # while_loop and only execute on failure) + triangular solve w/ phi rhs
     # (phi^3/2) + Minv matmul (phi^3), x2 flops per MAC.  cost_analysis
     # reports ~0 for the cholesky/triangular custom-calls, so this row stays
     # analytic (all of it MXU-class systolic work).
-    flops_f = 2 * (3 * phi**3 / 3 + phi**3 / 2 + phi**3)
+    flops_f = 2 * (phi**3 / 3 + phi**3 / 2 + phi**3)
     bytes_f = 4 * 4 * phi * phi
     f_entry = entry(f"factorization(phi={phi})", t_f, flops_f, flops_f, 0.0,
                     bytes_f, peaks)
