@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from scasml_gp_tpu.gp.solver import GP
 from scasml_gp_tpu.picard.core import (
@@ -41,13 +42,21 @@ class _ScaSMLBase(_PicardBase):
     def __init__(self, equation, gp: GP, batch_chunk=None, center_z=None,
                  time_sampling=None, precision=None, mesh=None,
                  debug_checks=False, variance_guard=None,
-                 terminal_crn=False):
+                 terminal_crn=False, adaptive_clip=None):
         super().__init__(equation, batch_chunk=batch_chunk,
                          center_z=center_z, time_sampling=time_sampling,
                          precision=precision, mesh=mesh,
                          debug_checks=debug_checks, terminal_crn=terminal_crn)
         self.GP = gp
         self.eval_chunk = gp.eval_chunk
+        # Opt-in adaptive correction clip (VERDICT round-3 Next #4): clamp
+        # the final u_breve per point to +- adaptive_clip * predict_std(x)
+        # — the GP's own posterior uncertainty — instead of relying only on
+        # the reference's FIXED +-equation.uncertainty rollout clip
+        # (solvers/ScaSML.py:282-284).  None keeps reference semantics.
+        # Requires a standard collocation GP (predict_std; the Cole-Hopf
+        # surrogate's state does not carry a collocation kernel).
+        self.adaptive_clip = adaptive_clip
         # Variance-guarded correction (VERDICT round-2 #5): estimate the MC
         # variance of u_breve inside the rollout (one extra output column)
         # and SHRINK the correction toward zero when it is statistically
@@ -113,9 +122,23 @@ class _ScaSMLBase(_PicardBase):
     def _u_hat(self, x_t) -> jax.Array:
         return self.GP.predict(x_t)
 
-    def _guarded_u(self, out, x_t, u_breve_half=None) -> jax.Array:
+    def _guarded_u(self, out, x_t, u_breve_half=None, num_valid=None,
+                   probe_var_ratio=0.25) -> jax.Array:
         """u_hat + lambda * u_breve with the James-Stein shrink computed
         from the rollout's variance column (no-op when the guard is off).
+
+        ``num_valid`` restricts the lambda statistics to the first rows (the
+        serving path pads requests to bucket sizes; duplicated pad rows must
+        not weight the batch-global shrink — ADVICE round-3 #1).  lambda is
+        a batch statistic, so a chunked/bucketed solve computes it per chunk
+        over the REAL rows; callers needing one global lambda must solve the
+        whole batch in one call.
+
+        ``probe_var_ratio`` is Var(u_breve at full samples)/Var(u_breve at
+        probe samples) for the paired half-sample probe — 2^-n for the
+        full-history variant (terminal MC count M^n; M -> M//2 scales the
+        variance by (M//(M//2))^n = 2^n for even M), and computed from the
+        schedule's terminal Mg table by the quadrature variant.
 
         The variance column sees only MC *variance*; a gradient-quadratic f
         additionally turns z-estimator noise into a systematic BIAS
@@ -128,41 +151,73 @@ class _ScaSMLBase(_PicardBase):
         denominator. Signal-dominated corrections (repair regime) have
         |u_breve| >> |delta| and keep lambda ~ 1."""
         u_breve = out[:, :1]
+        if self.adaptive_clip is not None:
+            bound = float(self.adaptive_clip) * self.GP.predict_std(x_t)
+            u_breve = jnp.clip(u_breve, -bound, bound)
         if not self.variance_guard:
             return self._u_hat(x_t) + u_breve
+        nv = u_breve.shape[0] if num_valid is None else int(num_valid)
+        ub_v = u_breve[:nv]
         if u_breve_half is not None:
-            # Paired half-sample probes (two INDEPENDENT M/2 rollouts):
+            # Paired half-sample probes (two INDEPENDENT reduced-sample
+            # rollouts):
             #   a - b      has the bias cancelled -> unbiased estimate of
-            #              2 Var_{M/2} (the rollout's own variance column
+            #              2 Var_half (the rollout's own variance column
             #              sees only the terminal pass and underestimates);
-            #   (a+b)/2 vs u_M isolates the bias difference
-            #              beta_{M/2} - beta_M, which bounds ||beta_M||
-            #              from above for any 1/M^p bias scaling (p >= 1).
+            #   (a+b)/2 vs u_breve isolates the bias difference
+            #              beta_half - beta_full, which bounds ||beta_full||
+            #              from above for any bias decaying in the sample
+            #              count (p >= 1 power law).
             # A gradient-quadratic f turns z-estimator noise into exactly
             # such a bias (the d=250 HJB regression); no variance column
             # can see it, the probe pair can.
             a, b = u_breve_half
+            a, b = a[:nv], b[:nv]
             var_half = 0.5 * jnp.sum((a - b) ** 2)
-            var_m = 0.25 * var_half          # ~1/M^2 terminal-MC scaling
-            delta = 0.5 * (a + b) - u_breve
+            var_m = probe_var_ratio * var_half
+            delta = 0.5 * (a + b) - ub_v
             bias_sq = jnp.maximum(
                 jnp.sum(delta * delta) - 0.5 * var_half - var_m, 0.0
             )
             num = var_m + bias_sq
         else:
-            num = jnp.sum(out[:, -1:])
-        den = jnp.sum(u_breve * u_breve)
+            num = jnp.sum(out[:nv, -1:])
+        den = jnp.sum(ub_v * ub_v)
         lam = jnp.clip(1.0 - num / jnp.maximum(den, 1e-30), 0.0, 1.0)
         self.last_lambda = float(lam)
         return self._u_hat(x_t) + lam * u_breve
+
+    def _measured_probe_ratio(self, out, a_out, b_out, fallback,
+                              num_valid=None):
+        """Var(full)/Var(probe) measured from the rollouts' OWN variance
+        columns (the guard builds want_variance rollouts, so every output
+        carries one).  Replaces a hardcoded scaling-exponent assumption with
+        a per-call measurement (ADVICE round-3 #4); falls back to the
+        analytic terminal-MC ratio when the columns are degenerate."""
+        nv = out.shape[0] if num_valid is None else int(num_valid)
+        v_full = float(jnp.sum(out[:nv, -1]))
+        v_half = 0.5 * float(
+            jnp.sum(a_out[:nv, -1]) + jnp.sum(b_out[:nv, -1])
+        )
+        if not (v_half > 0.0 and v_full > 0.0):
+            return fallback
+        # probes use fewer samples, so the true ratio lives in (0, 1)
+        return float(min(max(v_full / v_half, 1e-3), 1.0))
 
 
 class ScaSML(_ScaSMLBase):
     """Quadrature ScaSML (reference ``solvers/ScaSML.py``)."""
 
     def _build(self, schedule_key):
-        n, rho = schedule_key
+        n, rho, *probe = schedule_key
         tables = approx_parameters(rho, self.T)
+        if probe:
+            # bias-probe variant: same (n, rho) tree, HALVED MC counts —
+            # the quadrature analog of the full-history M//2 probe
+            tables = tables._replace(
+                Mf=np.maximum(tables.Mf // 2, 1),
+                Mg=np.maximum(tables.Mg // 2, 1),
+            )
         return build_quadrature_uz(
             self._model(), n, rho, tables,
             want_variance=self.variance_guard,
@@ -175,10 +230,40 @@ class ScaSML(_ScaSMLBase):
         )
         return out
 
-    def u_solve(self, n: int, rho: int, x_t) -> jax.Array:
+    def u_solve(self, n: int, rho: int, x_t, num_valid=None) -> jax.Array:
         """u_hat + [lambda] u_breve (reference solvers/ScaSML.py:286-304;
-        lambda is the optional variance-guard shrink)."""
-        return self._guarded_u(self.uz_solve(n, rho, x_t), x_t)
+        lambda is the optional variance-guard shrink).
+
+        A guarded solve adds the paired half-sample bias probe (two
+        independent rollouts of the same (n, rho) tree with HALVED MC
+        tables) that the full-history variant carries (VERDICT round-3
+        Next #4): the variance column alone is blind to the systematic bias
+        a gradient-quadratic generator turns z-noise into.  ``num_valid``
+        masks trailing pad rows out of the shrink statistics (serving
+        path)."""
+        out = self.uz_solve(n, rho, x_t)
+        u_half = None
+        ratio = 0.25
+        if self.variance_guard and rho >= 2:
+            probes = []
+            for _ in range(2):
+                probes.append(self._run((int(n), int(rho), "probe"), x_t))
+                # probe trees run every MC axis at half width; the exact
+                # count is within a factor ~2^depth of this, close enough
+                # for the cost-scaling plots the counter feeds
+                self.evaluation_counter += count_evaluations_quadrature(
+                    int(n), int(rho), self.T, count_fg=True
+                ) // 2
+            a, b = probes
+            # analytic fallback: terminal MC count Mg -> Mg//2 halves the
+            # leading (terminal-pass) variance
+            fallback = 0.5
+            ratio = self._measured_probe_ratio(
+                out, a, b, fallback, num_valid=num_valid
+            )
+            u_half = (a[:, :1], b[:, :1])
+        return self._guarded_u(out, x_t, u_breve_half=u_half,
+                               num_valid=num_valid, probe_var_ratio=ratio)
 
 
 class ScaSMLFullHistory(_ScaSMLBase):
@@ -197,16 +282,24 @@ class ScaSMLFullHistory(_ScaSMLBase):
         )
         return out
 
-    def u_solve(self, n: int, rho: int, x_t, M: int = 3) -> jax.Array:
+    def u_solve(self, n: int, rho: int, x_t, M: int = 3,
+                num_valid=None) -> jax.Array:
         out = self.uz_solve(n, rho, x_t, M)
         u_half = None
+        ratio = 0.25
         if self.variance_guard and M >= 4:
             # paired independent half-sample probes (2 x (1/2)^n of the
             # main rollout's work; the stateful key advances per call)
-            a = self.uz_solve(n, rho, x_t, M // 2)[:, :1]
-            b = self.uz_solve(n, rho, x_t, M // 2)[:, :1]
-            u_half = (a, b)
-        return self._guarded_u(out, x_t, u_breve_half=u_half)
+            a = self.uz_solve(n, rho, x_t, M // 2)
+            b = self.uz_solve(n, rho, x_t, M // 2)
+            # analytic fallback: terminal MC count M^n -> ((M//2)/M)^n
+            fallback = float(((M // 2) / M) ** n)
+            ratio = self._measured_probe_ratio(
+                out, a, b, fallback, num_valid=num_valid
+            )
+            u_half = (a[:, :1], b[:, :1])
+        return self._guarded_u(out, x_t, u_breve_half=u_half,
+                               num_valid=num_valid, probe_var_ratio=ratio)
 
 
 # Reference-spelling alias.
