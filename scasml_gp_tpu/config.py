@@ -105,6 +105,21 @@ class GPConfig:
     # the XLA fused path measured 2-3x faster than the pallas kernel in every
     # regime with honest in-graph timing; reports/posterior_probe.md).
     posterior_backend: str = "auto"
+    # Training backend: 'dense' (one-time explicit inverse + analytic-Hessian
+    # Newton, gp/solver.py), 'distributed' (row-sharded Gram + matrix-free
+    # dual-CG Gauss-Newton, gp/distributed.py — the large-N path), or 'auto':
+    # distributed when phi_dim = 4 N_dom + N_bdy exceeds ``dense_phi_max``.
+    # The dense path materializes TWO phi^2 fp32 buffers (K and its inverse)
+    # plus a (3N)^2 Newton Hessian; past ~8k phi that tops HBM and the
+    # O(phi^3) inverse dominates, while the CG path's only phi^2 object is
+    # the (shardable) K itself.
+    train_backend: str = "auto"
+    dense_phi_max: int = 8400
+    # Distributed trainer knobs: outer Gauss-Newton steps (each = one CG
+    # solve of the (N+Nb)^2 dual system) and the CG stop criteria.
+    dist_gn_steps: int = 8
+    dist_cg_tol: float = 1e-7
+    dist_cg_maxiter: int = 500
 
 
 @dataclasses.dataclass(frozen=True)

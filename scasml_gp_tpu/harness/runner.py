@@ -137,6 +137,19 @@ def main(argv=None):
                         choices=sorted(HARNESSES))
     parser.add_argument("--save-path", default="results")
     parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--num-domain", type=int, default=1000,
+                        help="GP training interior points (large values "
+                             "auto-select the distributed row-sharded "
+                             "trainer, gp/distributed.py)")
+    parser.add_argument("--num-boundary", type=int, default=200,
+                        help="GP training boundary points")
+    parser.add_argument("--test-domain", type=int, default=1000)
+    parser.add_argument("--test-boundary", type=int, default=200)
+    parser.add_argument("--train-backend", default="auto",
+                        choices=["auto", "dense", "distributed"],
+                        help="GP trainer: dense inverse-based Newton, "
+                             "distributed dual-CG Gauss-Newton, or auto by "
+                             "problem size (GPConfig.dense_phi_max)")
     parser.add_argument("--rho", type=int, default=2)
     parser.add_argument("--M", type=int, default=3)
     parser.add_argument("--batch-chunk", type=int, default=None)
@@ -194,6 +207,10 @@ def main(argv=None):
             save_path=args.save_path,
             seed=args.seed,
             wandb=args.wandb,
+            num_domain=args.num_domain,
+            num_boundary=args.num_boundary,
+            test_domain=args.test_domain,
+            test_boundary=args.test_boundary,
         )
         from scasml_gp_tpu.config import MeshConfig, PrecisionPolicy
 
@@ -202,6 +219,7 @@ def main(argv=None):
             gp=dataclasses.replace(
                 config.gp, ridge_scale=args.ridge_scale,
                 time_scale=args.time_scale,
+                train_backend=args.train_backend,
             ),
             picard=dataclasses.replace(
                 config.picard, variant=args.variant, rho=args.rho, M=args.M,
@@ -222,8 +240,12 @@ def main(argv=None):
             import jax
 
             eq = EQUATIONS[config.equation](n_input=config.n_input)
+            # Tuning trains the DENSE path once per grid candidate, so at
+            # large N the search runs on a reference-sized subsample; the
+            # selected kernel hyperparameters transfer to the full-size
+            # (possibly distributed) training run.
             x_dom, x_bdy = eq.generate_data(
-                config.num_domain, config.num_boundary,
+                min(config.num_domain, 1000), min(config.num_boundary, 200),
                 key=jax.random.PRNGKey(config.seed),
             )
             if args.fit_ml:

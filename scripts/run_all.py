@@ -36,9 +36,19 @@ def main(argv=None):
     parser.add_argument("--variants", nargs="+",
                         default=["quadrature", "full_history"],
                         choices=["quadrature", "full_history"])
+    parser.add_argument("--equations", nargs="+",
+                        default=["GradDependentNonlinear"],
+                        help="PDE families to sweep (see "
+                             "scasml_gp_tpu.equations.EQUATIONS)")
+    parser.add_argument("--harnesses", nargs="+", dest="harnesses",
+                        default=None,
+                        help="harness classes to sweep (default: the single "
+                             "--harness)")
     parser.add_argument("--harness", default="RepeatedExperiment")
     parser.add_argument("--save-path", default="results")
     parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--num-domain", type=int, default=1000)
+    parser.add_argument("--num-boundary", type=int, default=200)
     parser.add_argument("--tuned", action="store_true", default=True,
                         help="per-dimension validation-tuned ridge kernel "
                              "(the DEFAULT; it beats the reference at every "
@@ -55,45 +65,68 @@ def main(argv=None):
     from scasml_gp_tpu.gp.tuning import tune_gp
     from scasml_gp_tpu.harness.runner import GP_CLASSES, run
 
-    campaign = [(d, v) for d in args.dims for v in args.variants]
+    harnesses = args.harnesses or [args.harness]
+    campaign = [
+        (e, d, v, h)
+        for e in args.equations
+        for d in args.dims
+        for v in args.variants
+        for h in harnesses
+    ]
     summary = {}
-    for i, (dim, variant) in enumerate(campaign):
-        tag = f"{dim}d/{variant}"
+    tuned_cache = {}
+    for i, (equation, dim, variant, harness) in enumerate(campaign):
+        tag = f"{equation}/{dim}d/{variant}/{harness}"
         print(f"[{i + 1}/{len(campaign)}] {tag}", file=sys.stderr, flush=True)
-        config = RunConfig(dim=dim, harness=args.harness,
-                           save_path=args.save_path, seed=args.seed)
+        config = RunConfig(equation=equation, dim=dim, harness=harness,
+                           save_path=args.save_path, seed=args.seed,
+                           num_domain=args.num_domain,
+                           num_boundary=args.num_boundary)
         config = dataclasses.replace(
             config, picard=dataclasses.replace(config.picard, variant=variant)
         )
-        if args.tuned or args.fit_ml:
-            import jax
-
-            eq = EQUATIONS[config.equation](n_input=config.n_input)
-            x_dom, x_bdy = eq.generate_data(
-                config.num_domain, config.num_boundary,
-                key=jax.random.PRNGKey(config.seed),
-            )
-            if args.fit_ml:
-                from scasml_gp_tpu.gp.marginal import (
-                    fit_gp_marginal_likelihood,
-                )
-
-                tuned = fit_gp_marginal_likelihood(
-                    GP_CLASSES[config.equation], eq, x_dom, x_bdy,
-                    base=config.gp,
+        # HJB uses the Cole-Hopf surrogate, which carries its own
+        # width/prior selection (gp/cole_hopf.py) — no GPConfig tuning
+        tunable = equation in ("GradDependentNonlinear", "AllenCahn",
+                               "SineNonlinear")
+        if (args.tuned or args.fit_ml) and tunable:
+            if (equation, dim) in tuned_cache:
+                config = dataclasses.replace(
+                    config, gp=tuned_cache[(equation, dim)]
                 )
             else:
-                # ridge resolves the high-d mean direction; gamma_scale
-                # (overall length-scale) is the big lever at low d — the
-                # compile-shared tuner makes the 16-point grid cheap
-                tuned = tune_gp(
-                    GP_CLASSES[config.equation], eq, x_dom, x_bdy,
-                    base=config.gp,
-                    ridge_scales=(0.0, 10.0, 30.0, 100.0),
-                    gamma_scales=(1.0, 0.3, 0.1, 0.05),
+                import jax
+
+                eq = EQUATIONS[config.equation](n_input=config.n_input)
+                # tune on a reference-sized subsample; the selected kernel
+                # transfers to the (possibly distributed) full-size train
+                x_dom, x_bdy = eq.generate_data(
+                    min(config.num_domain, 1000),
+                    min(config.num_boundary, 200),
+                    key=jax.random.PRNGKey(config.seed),
                 )
-            print(f"  tuned: {tuned.config}", file=sys.stderr, flush=True)
-            config = dataclasses.replace(config, gp=tuned.config)
+                if args.fit_ml:
+                    from scasml_gp_tpu.gp.marginal import (
+                        fit_gp_marginal_likelihood,
+                    )
+
+                    tuned = fit_gp_marginal_likelihood(
+                        GP_CLASSES[config.equation], eq, x_dom, x_bdy,
+                        base=config.gp,
+                    )
+                else:
+                    # ridge resolves the high-d mean direction; gamma_scale
+                    # (overall length-scale) is the big lever at low d — the
+                    # compile-shared tuner makes the 16-point grid cheap
+                    tuned = tune_gp(
+                        GP_CLASSES[config.equation], eq, x_dom, x_bdy,
+                        base=config.gp,
+                        ridge_scales=(0.0, 10.0, 30.0, 100.0),
+                        gamma_scales=(1.0, 0.3, 0.1, 0.05),
+                    )
+                print(f"  tuned: {tuned.config}", file=sys.stderr, flush=True)
+                tuned_cache[(equation, dim)] = tuned.config
+                config = dataclasses.replace(config, gp=tuned.config)
         t0 = time.perf_counter()
         try:
             result = run(config)
@@ -105,12 +138,34 @@ def main(argv=None):
             traceback.print_exc()
             summary[tag] = {"error": f"{type(e).__name__}: {e}"}
         print(f"  -> {summary[tag]}", file=sys.stderr, flush=True)
+        _write_summary(args.save_path, summary)  # checkpoint per run
 
-    out = f"{args.save_path}/run_all_summary.json"
-    with open(out, "w") as fh:
-        json.dump(summary, fh, indent=2)
     print(json.dumps(summary, indent=2))
-    print(f"written: {out}", file=sys.stderr)
+    print(f"written: {args.save_path}/run_all_summary.json", file=sys.stderr)
+
+
+def _write_summary(save_path, summary):
+    """MERGE this campaign's rows into run_all_summary.json (a later partial
+    campaign must not clobber earlier rows — VERDICT round-3 Weak #6).
+    Legacy '20d/quadrature'-style keys are upgraded in place."""
+    import os
+
+    out = f"{save_path}/run_all_summary.json"
+    merged = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as fh:
+                merged = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            merged = {}
+    upgraded = {}
+    for key, val in merged.items():
+        if key.count("/") == 1:  # '<dim>d/<variant>' legacy row
+            key = f"GradDependentNonlinear/{key}/RepeatedExperiment"
+        upgraded[key] = val
+    upgraded.update(summary)
+    with open(out, "w") as fh:
+        json.dump(upgraded, fh, indent=2)
 
 
 def _headline(result):

@@ -199,3 +199,45 @@ def test_distributed_inference_matches_replicated():
     if t_rep and t_sh:
         # replicated holds (n, N) pair temps; sharded ~1/8 + collectives
         assert t_sh <= t_rep / 2, (t_sh, t_rep)
+
+
+def test_gpsolver_auto_dispatches_to_distributed():
+    """GPConfig(train_backend='auto') routes GPsolver itself to the
+    distributed trainer past dense_phi_max (VERDICT round-3 Next #1: the
+    large-N path is flagless-reachable, not test-only), and the result
+    matches the dense path on the same problem."""
+    eq, _, x_dom, x_bdy = _problem(96, 24)
+
+    gp_dense = GPGradDependentNonlinear(eq, GPConfig(gn_steps=12))
+    gp_dense.GPsolver(x_dom, x_bdy)
+
+    # phi = 4*96 + 24 = 408 > 100 -> auto selects distributed
+    cfg = GPConfig(train_backend="auto", dense_phi_max=100, dist_gn_steps=12)
+    gp_auto = GPGradDependentNonlinear(eq, cfg)
+    mesh = make_mesh(data=1, model=8)
+    gp_auto.mesh = mesh
+    gp_auto.GPsolver(x_dom, x_bdy)
+
+    x_eval = eq.geometry().sample_domain(jax.random.PRNGKey(5), 128)
+    pred_dense = np.asarray(gp_dense.predict(x_eval))
+    pred_auto = np.asarray(gp_auto.predict(x_eval))
+    rel = np.linalg.norm(pred_auto - pred_dense) / np.linalg.norm(pred_dense)
+    assert rel < 2e-2, rel
+
+    # below the threshold the same config stays dense (state from _TrainOut
+    # has the dense loss_history length gn_steps+1)
+    cfg2 = GPConfig(train_backend="auto", dense_phi_max=100000, gn_steps=4)
+    gp_small = GPGradDependentNonlinear(eq, cfg2)
+    gp_small.GPsolver(x_dom, x_bdy)
+    assert gp_small.state.loss_history.shape[0] == 5
+
+
+def test_gpsolver_distributed_without_mesh_uses_local_devices():
+    """No mesh supplied: GPsolver builds a 1 x n_devices mesh itself."""
+    eq, _, x_dom, x_bdy = _problem(48, 16)
+    cfg = GPConfig(train_backend="distributed", dist_gn_steps=6)
+    gp = GPGradDependentNonlinear(eq, cfg)
+    gp.GPsolver(x_dom, x_bdy)
+    assert gp.state is not None
+    u = np.asarray(gp.predict(x_dom))
+    assert np.all(np.isfinite(u))
