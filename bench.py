@@ -85,16 +85,64 @@ def main():
         pass
 
     baseline_s = 353.1  # reference wall-clock for the same solve (BASELINE.md)
-    print(
-        json.dumps(
-            {
-                "metric": "scasml_quad_d20_solve_1200pts_wallclock",
-                "value": round(t, 5),
-                "unit": "s",
-                "vs_baseline": round(baseline_s / t, 1),
-            }
-        )
+    out = {
+        "metric": "scasml_quad_d20_solve_1200pts_wallclock",
+        "value": round(t, 5),
+        "unit": "s",
+        "vs_baseline": round(baseline_s / t, 1),
+        # Timing-protocol tag (VERDICT round-3 Next #3): rounds are only
+        # comparable within one protocol.  v2 = in-graph chained-loop
+        # (utils/timing.device_loop_time).  BENCH_r01/r02 used the
+        # enqueue-N-sync-once protocol, which under-reports ~28% through
+        # the device relay (reports/mfu_notes.md §1) — their headline
+        # values are NOT comparable to v2 rounds.
+        "protocol": "in-graph-chained-loop-v2",
+    }
+    out.update(_vs_prev(t))
+    print(json.dumps(out))
+
+
+def _vs_prev(t):
+    """Diff against the newest committed BENCH_r*.json (same-protocol only)."""
+    import glob
+    import re
+
+    prevs = sorted(
+        glob.glob("BENCH_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
     )
+    if not prevs:
+        return {}
+    path = prevs[-1]
+    try:
+        with open(path) as fh:
+            prev = json.load(fh)
+        if "parsed" in prev:  # the driver wraps the JSON line
+            prev = prev["parsed"]
+        prev_val = float(prev["value"])
+    except Exception:
+        return {}
+    # r03 ran the v2 (in-graph chained-loop) protocol before the tag
+    # existed; r01/r02 ran the under-reporting enqueue-sync protocol.
+    round_no = int(re.search(r"r(\d+)", path).group(1))
+    default_proto = (
+        "in-graph-chained-loop-v2" if round_no >= 3 else "enqueue-sync-v1"
+    )
+    prev_proto = prev.get("protocol", default_proto)
+    fields = {
+        "prev_round": path,
+        "prev_value": prev_val,
+        "prev_protocol": prev_proto,
+    }
+    if prev_proto == "in-graph-chained-loop-v2":
+        fields["vs_prev"] = round(prev_val / t, 3)  # >1 means faster now
+    else:
+        fields["vs_prev"] = None
+        fields["vs_prev_note"] = (
+            "previous round used a different timing protocol; r02->r03 "
+            "apparent +25% was the protocol fix, not a regression"
+        )
+    return fields
 
 
 def _child(queue):

@@ -69,7 +69,26 @@ class HarnessBase:
         except NotImplementedError:
             from scasml_gp_tpu.harness.metrics import mc_reference_solution
 
-            exact = mc_reference_solution(self.equation, x_test)
+            # Two INDEPENDENT oracle runs: their averaged value is the
+            # reference, and their relative disagreement bounds the oracle's
+            # own error — recorded into metrics.json so an oracle-dominated
+            # comparison is detectable instead of silent (ADVICE round-3 #3).
+            a = mc_reference_solution(self.equation, x_test, seed=123)
+            b = mc_reference_solution(self.equation, x_test, seed=456)
+            exact = 0.5 * (a + b)
+            denom = max(float(np.linalg.norm(exact)), 1e-30)
+            half_rel = float(np.linalg.norm(a - b)) / denom
+            # rel error of the 2-run mean ~ half the half-run disagreement
+            self.oracle_consistency = {
+                "half_run_rel_disagreement": half_rel,
+                "oracle_rel_error_estimate": 0.5 * half_rel,
+            }
+            if half_rel > 0.05:
+                print(
+                    f"WARNING: MC-oracle half-run disagreement {half_rel:.3f}"
+                    " — reported solver metrics may be oracle-dominated",
+                    flush=True,
+                )
         return x_test, exact
 
     def _train_points(self, num_domain: int, num_boundary: int, seed: int):
@@ -83,6 +102,8 @@ class HarnessBase:
         out = jax.block_until_ready(fn(*args, **kwargs))
         return out, time.perf_counter() - start
 
-    @staticmethod
-    def _dump(path: str, name: str, data: dict):
+    def _dump(self, path: str, name: str, data: dict):
+        oc = getattr(self, "oracle_consistency", None)
+        if oc is not None and isinstance(data, dict):
+            data = dict(data, oracle_consistency=oc)
         dump_json(os.path.join(path, name), data)

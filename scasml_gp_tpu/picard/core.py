@@ -80,6 +80,21 @@ class PicardModel(NamedTuple):
     # estimator (scripts/quadrature_parity.py --frozen-seeds); False
     # (default) uses properly split independent keys.
     terminal_crn: "bool | int" = False
+    # Faithful reference-estimator probe (VERDICT round-3 Next #8) for the
+    # quadrature variant, combining the reference's remaining structural
+    # quirks in one rollout (reference solvers/MLP.py:178,201-202,219-274):
+    # - interior Brownian normals DRAWN in path_dtype (the reference draws
+    #   fp16 normals, solvers/MLP.py:221) then accumulated fp32;
+    # - the z denominator delta_t is a CARRIED variable: initialized to
+    #   (T - t + 1e-6) by the terminal pass, used by the positive f term,
+    #   and only reassigned to (c_k - t + 1e-6) inside the `if l:` branch —
+    #   so level-0 positive terms divide by (T - t) at EVERY quadrature
+    #   point, and l >= 1 positive terms use the PREVIOUS k's value;
+    # - every recursion level's output is quantized through float16
+    #   (solvers/MLP.py:274 casts each uz_solve return to fp16).
+    # False (default) = our corrected estimator ((c_k - t) denominators,
+    # fp32 draws, no per-level quantization).
+    reference_semantics: bool = False
     # f applied to the level-0 (identically zero) Picard estimate is itself
     # identically zero.  True for the ScaSML residual generator: f_breve(x,
     # 0, 0) = f(x, u_hat, sigma grad u_hat) - f(x, u_hat, sigma grad u_hat)
@@ -231,14 +246,15 @@ def build_quadrature_uz(
             W0 = jnp.zeros((B, mf, dim), pd)
 
             def step(carry, inp):
-                X, W, u, z, var_c = carry
+                X, W, u, z, var_c, dt_ref = carry
                 kk, dt_k, c_k, w_k = inp
                 samp = (
                     jnp.zeros((B, mf), jnp.float32) if want_var else None
                 )
+                draw_dtype = pd if model.reference_semantics else jnp.float32
                 dW = jnp.sqrt(dt_k)[:, None, None] * jax.random.normal(
-                    kk, (B, mf, dim), jnp.float32
-                )
+                    kk, (B, mf, dim), draw_dtype
+                ).astype(jnp.float32)
                 W = (W.astype(jnp.float32) + dW).astype(pd)
                 X = (
                     X.astype(jnp.float32)
@@ -252,7 +268,11 @@ def build_quadrature_uz(
                     ],
                     axis=2,
                 ).reshape(-1, dim + 1)
-                denom = (c_k - t + 1e-6)[:, None]
+                denom_k = (c_k - t + 1e-6)[:, None]
+                # the reference's carried delta_t (see PicardModel.
+                # reference_semantics): positive terms divide by the value
+                # LAST assigned — (T - t) until an `if l:` body runs
+                denom_pos = dt_ref if model.reference_semantics else denom_k
 
                 if l > 0 or not model.f_zero_at_zero:
                     sim_l = uz(l, xt_k, jax.random.fold_in(kk, 1), params)
@@ -262,7 +282,7 @@ def build_quadrature_uz(
                     u = u + w_k[:, None] * jnp.mean(y, axis=1, keepdims=True)
                     z = z + w_k[:, None] * _z_accum(
                         y, W, mf, model.center_z
-                    ) / denom
+                    ) / denom_pos
                     if want_var:
                         samp = samp + y
                 if l:
@@ -276,9 +296,11 @@ def build_quadrature_uz(
                         u = u - w_k[:, None] * jnp.mean(y2, axis=1, keepdims=True)
                         z = z - w_k[:, None] * _z_accum(
                             y2, W, mf, model.center_z
-                        ) / denom
+                        ) / denom_k
                         if want_var:
                             samp = samp - y2
+                    # reference reassigns delta_t inside `if l:` only
+                    dt_ref = denom_k
                 elif model.leaf is not None:
                     # GP PDE-residual injection at leaf level
                     # (reference solvers/ScaSML.py:274-280).
@@ -286,25 +308,33 @@ def build_quadrature_uz(
                     u = u + w_k[:, None] * jnp.mean(eps, axis=1, keepdims=True)
                     z = z + w_k[:, None] * _z_accum(
                         eps, W, mf, model.center_z
-                    ) / denom
+                    ) / denom_pos
                 if want_var:
                     # quadrature nodes use fresh Brownian increments per
                     # step; per-step contribution is w_k * mean(samp)
                     var_c = var_c + (
                         w_k[:, None] ** 2 * _sample_var_of_mean(samp, mf)
                     )
-                return (X, W, u, z, var_c), None
+                return (X, W, u, z, var_c, dt_ref), None
 
             if var is None:
                 var = jnp.zeros((B, 1), jnp.float32)
-            (X0, W0, u, z, var), _ = jax.lax.scan(
+            dt0 = (model.T - t + 1e-6)[:, None]  # terminal-pass delta_t
+            (X0, W0, u, z, var, _), _ = jax.lax.scan(
                 step,
-                (X0, W0, u, z, var),
+                (X0, W0, u, z, var, dt0),
                 (kks, dts.T, cloc.T, wloc.T),
             )
 
         out = jnp.concatenate([u, z], axis=1)
         out = jnp.clip(out, -model.clip, model.clip)
+        if model.reference_semantics:
+            # the reference quantizes EVERY recursion level's output
+            # (solvers/MLP.py:274).  NOTE: the carried-delta_t emulation
+            # resets to (T - t) per level, which is exact for n <= 2 (the
+            # parity cell under test); at n >= 3 the reference would carry
+            # the previous LEVEL's last value across levels too.
+            out = out.astype(jnp.float16).astype(jnp.float32)
         if want_var:
             out = jnp.concatenate([out, var], axis=1)  # var column unclipped
         return out

@@ -34,7 +34,8 @@ class _PicardBase:
                  center_z: Optional[bool] = None,
                  time_sampling: Optional[str] = None,
                  precision=None, mesh=None, debug_checks: bool = False,
-                 terminal_crn: bool = False):
+                 terminal_crn: bool = False,
+                 reference_semantics: bool = False):
         self.equation = equation
         # PrecisionPolicy.rollout -> Brownian path storage dtype (bf16 opt-in)
         from scasml_gp_tpu.config import PrecisionPolicy
@@ -71,6 +72,9 @@ class _PicardBase:
         # reference-RNG parity probe: frozen PRNGKey(0) terminal draws at
         # every tree node (see core.PicardModel.terminal_crn)
         self.terminal_crn = terminal_crn
+        # faithful reference-estimator probe (carried delta_t, fp16 interior
+        # draws, per-level fp16 output quantization; see core.PicardModel)
+        self.reference_semantics = reference_semantics
         self._cache: Dict[Tuple, Callable] = {}
 
     # -- overridden by ScaSML variants --
@@ -93,6 +97,7 @@ class _PicardBase:
             terminal_z=self.terminal_z,
             path_dtype=self.precision.rollout,
             terminal_crn=self.terminal_crn,
+            reference_semantics=self.reference_semantics,
         )
 
     def _build(self, schedule_key: Tuple) -> Callable:

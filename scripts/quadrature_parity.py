@@ -89,6 +89,19 @@ def main():
         run_variant("crn_fp16", args.dim, args.reps, args.num_domain,
                     args.num_boundary, terminal_crn=True,
                     precision=PrecisionPolicy(rollout="float16")),
+        # round-4 combined faithful run (VERDICT round-3 Next #8): frozen
+        # terminal CRN + fp16 draws + the reference's carried-delta_t z
+        # denominators + per-level fp16 output quantization, in ONE rollout
+        run_variant("combined_faithful", args.dim, args.reps,
+                    args.num_domain, args.num_boundary, terminal_crn=True,
+                    precision=PrecisionPolicy(rollout="float16"),
+                    reference_semantics=True),
+        # the structural estimator changes alone (carried-delta_t
+        # denominators + per-level fp16 output quantization) with fp32
+        # draws and independent keys: isolates structure from RNG freezing
+        run_variant("ref_struct_only", args.dim, args.reps,
+                    args.num_domain, args.num_boundary,
+                    reference_semantics=True),
     ]
     out = {
         "dim": args.dim,
