@@ -100,10 +100,11 @@ class GPConfig:
     # (gp/solver.py), which keeps the biggest intermediate under ~80 MB at
     # the reference training sizes.
     eval_chunk: Optional[int] = None
-    # Posterior evaluation backend: 'xla' (fused-by-compiler), 'pallas'
-    # (hand-tiled VMEM kernel, gp/pallas_posterior.py), or 'auto' (= 'xla':
-    # the XLA fused path measured 2-3x faster than the pallas kernel in every
-    # regime with honest in-graph timing; reports/posterior_probe.md).
+    # Posterior evaluation backend: 'xla' (fused-by-compiler) or 'auto'
+    # (= 'xla').  The hand-tiled pallas kernel is ARCHIVED under
+    # scripts/pallas_posterior.py — honest in-graph timing measured it 2-3x
+    # slower than the XLA fused path in every regime
+    # (reports/posterior_probe.md), so it is no longer a production backend.
     posterior_backend: str = "auto"
     # Training backend: 'dense' (one-time explicit inverse + analytic-Hessian
     # Newton, gp/solver.py), 'distributed' (row-sharded Gram + matrix-free

@@ -287,10 +287,30 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--buckets", type=int, nargs="+", default=[256, 1024, 4096])
     ap.add_argument("--warmup", action="store_true")
+    ap.add_argument("--solver", default="full_history",
+                    choices=["none", "quadrature", "full_history"],
+                    help="attach a ScaSML solver for the /solve endpoint "
+                         "('none' serves predict/gradient only)")
+    ap.add_argument("--n", type=int, default=2, help="Picard depth")
+    ap.add_argument("--rho", type=int, default=2,
+                    help="quadrature refinement level")
+    ap.add_argument("--M", type=int, default=3,
+                    help="full-history sample base")
     args = ap.parse_args(argv)
 
     gp = load_surrogate(args.checkpoint)
-    server = SurrogateServer(gp, buckets=args.buckets)
+    scasml = None
+    rho = args.rho
+    if args.solver != "none":
+        from scasml_gp_tpu.picard.scasml import ScaSML, ScaSMLFullHistory
+
+        if args.solver == "full_history":
+            scasml = ScaSMLFullHistory(gp.equation, gp)
+            rho = None
+        else:
+            scasml = ScaSML(gp.equation, gp)
+    server = SurrogateServer(gp, scasml, buckets=args.buckets,
+                             n=args.n, rho=rho, M=args.M)
     if args.warmup:
         server.warmup()
     httpd = serve_http(server, args.host, args.port)

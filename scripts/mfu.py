@@ -73,7 +73,11 @@ def vpu_peaks():
         )
     with open(path) as fh:
         rep = json.load(fh)
-    return rep["vpu_fp32_tflops"], rep["exp_per_s_g"] * 1e9
+    return (
+        rep["vpu_fp32_tflops"],
+        rep["exp_per_s_g"] * 1e9,
+        rep.get("vpu_exp_overlap_factor", 1.0),
+    )
 
 
 def xla_costs(fn, *args):
@@ -90,11 +94,15 @@ def xla_costs(fn, *args):
 
 
 def entry(name, t_s, mxu_flops, total_flops, trans, bytes_, peaks):
-    mxu_peak_bf16, hbm_peak, vpu_peak, exp_rate = peaks
+    mxu_peak_bf16, hbm_peak, vpu_peak, exp_rate, overlap = peaks
     vpu_flops = max(total_flops - mxu_flops, 0.0)
     mxu_peak_fp32 = mxu_peak_bf16 / 2.0  # fp32 operands
     t_mxu = mxu_flops / (mxu_peak_fp32 * 1e12)
-    t_vpu = vpu_flops / (vpu_peak * 1e12) + trans / exp_rate
+    # VPU + transcendental ceiling: the additive serial model scaled by the
+    # MEASURED overlap factor from the mixed fma+exp probe (vpu_probe.py) —
+    # the round-3 pure-additive model claimed the posterior ran faster than
+    # physically possible (frac 1.01), i.e. the issue slots overlap.
+    t_vpu = (vpu_flops / (vpu_peak * 1e12) + trans / exp_rate) * overlap
     t_hbm = bytes_ / (hbm_peak * 1e9)
     bound, t_roof = max(
         (("mxu", t_mxu), ("vpu", t_vpu), ("hbm", t_hbm)), key=lambda kv: kv[1]
@@ -131,7 +139,7 @@ def _posterior_mxu_flops(n, N, Nb, d, want_grad):
 
 
 def posterior_case(n, N, Nb, d, peaks):
-    from scasml_gp_tpu.gp.pallas_posterior import posterior_eval_fused
+    from scripts.pallas_posterior import posterior_eval_fused
     from scasml_gp_tpu.gp.posterior import posterior_eval
 
     ks = jax.random.split(jax.random.PRNGKey(0), 4)
@@ -268,11 +276,12 @@ def rollout_case(B, d, n, M, peaks):
 
 def main():
     kind, (peak_tf, peak_bw) = chip_peaks()
-    vpu_tf, exp_rate = vpu_peaks()
-    peaks = (peak_tf, peak_bw, vpu_tf, exp_rate)
+    vpu_tf, exp_rate, overlap = vpu_peaks()
+    peaks = (peak_tf, peak_bw, vpu_tf, exp_rate, overlap)
     print(
         f"device: {kind} peaks: MXU(bf16) {peak_tf} TF/s, HBM {peak_bw} GB/s,"
-        f" VPU(meas) {vpu_tf} TF/s, exp(meas) {exp_rate/1e9:.0f} G/s",
+        f" VPU(meas) {vpu_tf} TF/s, exp(meas) {exp_rate/1e9:.0f} G/s,"
+        f" overlap {overlap}",
         file=sys.stderr, flush=True,
     )
     rows = [
@@ -288,6 +297,7 @@ def main():
         "peak_hbm_gbs": peak_bw,
         "peak_vpu_fp32_tflops_measured": vpu_tf,
         "peak_exp_per_s_measured": exp_rate,
+        "vpu_exp_overlap_factor_measured": overlap,
         "paths": rows,
     }
     os.makedirs("reports", exist_ok=True)

@@ -30,7 +30,7 @@ from scasml_gp_tpu.utils.timing import device_loop_time
 
 
 def main():
-    from scasml_gp_tpu.gp.pallas_posterior import posterior_eval_fused
+    from scripts.pallas_posterior import posterior_eval_fused
     from scasml_gp_tpu.gp.posterior import posterior_eval
 
     print("devices:", jax.devices(), file=sys.stderr, flush=True)

@@ -49,7 +49,7 @@ def synced_time(fn, *args, reps=10, **kw):
 
 
 def main():
-    from scasml_gp_tpu.gp.pallas_posterior import posterior_eval_fused
+    from scripts.pallas_posterior import posterior_eval_fused
     from scasml_gp_tpu.gp.posterior import posterior_eval
 
     print("devices:", jax.devices(), file=sys.stderr, flush=True)

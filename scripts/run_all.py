@@ -72,6 +72,9 @@ def main(argv=None):
         for d in args.dims
         for v in args.variants
         for h in harnesses
+        # SimpleScaling sweeps the full-history sample base M
+        # (reference tests/SimpleScaling.py) — quadrature has no M axis
+        if not (h == "SimpleScaling" and v == "quadrature")
     ]
     summary = {}
     tuned_cache = {}

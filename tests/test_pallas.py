@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from scasml_gp_tpu.gp.kernels import kernel_gamma, kernel_gammas
-from scasml_gp_tpu.gp.pallas_posterior import posterior_eval_fused
+from scripts.pallas_posterior import posterior_eval_fused
 from scasml_gp_tpu.gp.posterior import posterior_eval
 
 D = 6
