@@ -55,6 +55,7 @@ def tune_gp(
     val_fraction: float = 0.2,
     gn_steps: Optional[int] = None,
     seed: int = 0,
+    train_backend: str = "auto",
 ) -> TuneResult:
     """Grid-search GP hyperparameters on a held-out collocation split,
     then retrain the best candidate on the FULL data.
@@ -92,22 +93,48 @@ def tune_gp(
     g_val = equation.g(val_bdy)[:, 0].astype(jnp.float32)
     dim = equation.dim
 
-    @jax.jit
-    def score_one(gamma, nugget):
-        out = gp._train_jit(
-            tr_dom, tr_bdy, bg_tr, rhs_tr, gamma, nugget,
-            steps=steps, damping=base.damping, grad_tol=base.grad_tol,
-            init_scale=base.init_scale,
+    # Large-N candidates train through the distributed dual-CG trainer
+    # (gp/distributed.py): gamma/nugget are traced there too, so the grid
+    # still shares ONE compiled program.  The dense trainer would need the
+    # phi^2 inverse per candidate, which caps out around phi ~ 8k.
+    backend = gp._resolve_train_backend(tr_dom, tr_bdy) if (
+        train_backend == "auto"
+    ) else train_backend
+    if backend == "distributed":
+        from scasml_gp_tpu.gp.distributed import make_distributed_train
+        from scasml_gp_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=1, model=len(jax.devices()))
+        dist_train = make_distributed_train(
+            gp.form, mesh, dim, gn_steps=base.dist_gn_steps,
+            cg_tol=base.dist_cg_tol, cg_maxiter=base.dist_cg_maxiter,
         )
+
+        def train_rv(gamma, nugget):
+            out, _ = dist_train(tr_dom, tr_bdy, bg_tr, rhs_tr, gamma, nugget)
+            return out.right_vector
+    else:
+        def train_rv(gamma, nugget):
+            return gp._train_jit(
+                tr_dom, tr_bdy, bg_tr, rhs_tr, gamma, nugget,
+                steps=steps, damping=base.damping, grad_tol=base.grad_tol,
+                init_scale=base.init_scale,
+            ).right_vector
+
+    @jax.jit
+    def score_rv(right_vector, gamma):
         po = posterior_eval(
-            val_dom, tr_dom, tr_bdy, out.right_vector, gamma, dim,
+            val_dom, tr_dom, tr_bdy, right_vector, gamma, dim,
             want_ops=True,
         )
         eps = gp.form.residual(val_dom, po.u, po.dt_u, po.div_u, po.lap_u)
         ub = posterior_eval(
-            val_bdy, tr_dom, tr_bdy, out.right_vector, gamma, dim
+            val_bdy, tr_dom, tr_bdy, right_vector, gamma, dim
         ).u
         return jnp.mean(eps**2) + jnp.mean((ub - g_val) ** 2)
+
+    def score_one(gamma, nugget):
+        return score_rv(train_rv(gamma, nugget), gamma)
 
     table = []
     best = None

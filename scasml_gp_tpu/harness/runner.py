@@ -240,12 +240,12 @@ def main(argv=None):
             import jax
 
             eq = EQUATIONS[config.equation](n_input=config.n_input)
-            # Tuning trains the DENSE path once per grid candidate, so at
-            # large N the search runs on a reference-sized subsample; the
-            # selected kernel hyperparameters transfer to the full-size
-            # (possibly distributed) training run.
+            # Tuning trains once per grid candidate at the run's full size:
+            # past dense_phi_max, tune_gp routes candidates through the
+            # distributed dual-CG trainer (gamma/nugget are traced there
+            # too, so the grid still shares one compiled program).
             x_dom, x_bdy = eq.generate_data(
-                min(config.num_domain, 1000), min(config.num_boundary, 200),
+                config.num_domain, config.num_boundary,
                 key=jax.random.PRNGKey(config.seed),
             )
             if args.fit_ml:
@@ -278,7 +278,7 @@ def main(argv=None):
                 result = tune_gp(
                     GP_CLASSES[config.equation], eq, x_dom, x_bdy,
                     base=config.gp,
-                    ridge_scales=(0.0, 10.0, 30.0, 100.0),
+                    ridge_scales=(0.0, 10.0, 30.0, 100.0, 300.0),
                     gamma_scales=(1.0, 0.3, 0.1, 0.05),
                 )
                 print(f"tuned GP config: {result.config}", file=sys.stderr)

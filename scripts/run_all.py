@@ -101,11 +101,10 @@ def main(argv=None):
                 import jax
 
                 eq = EQUATIONS[config.equation](n_input=config.n_input)
-                # tune on a reference-sized subsample; the selected kernel
-                # transfers to the (possibly distributed) full-size train
+                # full-size tuning: past dense_phi_max, tune_gp routes the
+                # grid through the distributed dual-CG trainer
                 x_dom, x_bdy = eq.generate_data(
-                    min(config.num_domain, 1000),
-                    min(config.num_boundary, 200),
+                    config.num_domain, config.num_boundary,
                     key=jax.random.PRNGKey(config.seed),
                 )
                 if args.fit_ml:
@@ -124,7 +123,7 @@ def main(argv=None):
                     tuned = tune_gp(
                         GP_CLASSES[config.equation], eq, x_dom, x_bdy,
                         base=config.gp,
-                        ridge_scales=(0.0, 10.0, 30.0, 100.0),
+                        ridge_scales=(0.0, 10.0, 30.0, 100.0, 300.0),
                         gamma_scales=(1.0, 0.3, 0.1, 0.05),
                     )
                 print(f"  tuned: {tuned.config}", file=sys.stderr, flush=True)

@@ -43,3 +43,33 @@ def test_validation_score_finite():
     v_dom, v_bdy = eq.generate_data(30, 10, key=jax.random.PRNGKey(3))
     score = validation_score(gp, v_dom, v_bdy)
     assert np.isfinite(score) and score >= 0
+
+
+def test_tune_gp_distributed_backend():
+    """tune_gp routes large-N candidates through the distributed dual-CG
+    trainer (train_backend='distributed') and still picks a sensible
+    candidate (same winner class as the dense tuner on the same data)."""
+    import dataclasses
+
+    import jax
+
+    from scasml_gp_tpu.config import GPConfig
+    from scasml_gp_tpu.equations import GradDependentNonlinear
+    from scasml_gp_tpu.gp.solver import GPGradDependentNonlinear
+    from scasml_gp_tpu.gp.tuning import tune_gp
+
+    d = 6
+    eq = GradDependentNonlinear(n_input=d + 1)
+    x_dom, x_bdy = eq.generate_data(120, 30, key=jax.random.PRNGKey(0))
+    base = GPConfig(gn_steps=8, dist_gn_steps=8)
+
+    dense = tune_gp(GPGradDependentNonlinear, eq, x_dom, x_bdy, base=base,
+                    ridge_scales=(0.0, 30.0), train_backend="dense")
+    dist = tune_gp(GPGradDependentNonlinear, eq, x_dom, x_bdy, base=base,
+                   ridge_scales=(0.0, 30.0), train_backend="distributed")
+    assert dense.config.ridge_scale == dist.config.ridge_scale
+    # scores from the two trainers agree to a few percent (same objective,
+    # CG-vs-Newton fixed points)
+    for (cfg_a, sa), (cfg_b, sb) in zip(dense.table, dist.table):
+        assert cfg_a == dataclasses.replace(cfg_b)
+        assert abs(sa - sb) / max(abs(sa), 1e-12) < 0.2, (sa, sb)
