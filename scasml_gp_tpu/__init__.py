@@ -60,7 +60,19 @@ def _host_cache_key() -> str:
     return hashlib.sha1("\n".join(feats).encode()).hexdigest()[:12]
 
 
-if not _os.environ.get("SCASML_NO_COMPILE_CACHE"):
+# The cache is only worth having for device (TPU) backends, and XLA:CPU AOT
+# entries are hazardous to LOAD at all: they bake compile-preference flags
+# (+prefer-no-scatter/+prefer-no-gather) that never appear in host feature
+# detection, so every CPU cache hit logs a machine-mismatch/SIGILL-risk error
+# — even on the machine that wrote the entry (measured; the source of the
+# MULTICHIP_r03 tail noise).  So: enable only when the process is headed for
+# a TPU-ish backend per JAX_PLATFORMS, or when SCASML_COMPILE_CACHE_DIR
+# forces it.
+_plat = _os.environ.get("JAX_PLATFORMS", "").lower()
+_tpu_bound = any(p in _plat for p in ("tpu", "axon", "proxy"))
+if not _os.environ.get("SCASML_NO_COMPILE_CACHE") and (
+    _tpu_bound or _os.environ.get("SCASML_COMPILE_CACHE_DIR")
+):
     import jax as _jax
 
     _cache_dir = _os.environ.get("SCASML_COMPILE_CACHE_DIR") or _os.path.join(
