@@ -284,13 +284,7 @@ def main():
         f" overlap {overlap}",
         file=sys.stderr, flush=True,
     )
-    rows = [
-        *posterior_case(8192, 1000, 200, 20, peaks),
-        *posterior_case(65536, 1000, 200, 20, peaks),
-        *posterior_case(8192, 1000, 200, 100, peaks),
-        *gram_case(1000, 200, 20, peaks),
-        rollout_case(1200, 20, 2, 3, peaks),
-    ]
+    rows = []
     out = {
         "device_kind": kind,
         "peak_mxu_bf16_tflops": peak_tf,
@@ -300,9 +294,21 @@ def main():
         "vpu_exp_overlap_factor_measured": overlap,
         "paths": rows,
     }
+    cases = [
+        lambda: posterior_case(8192, 1000, 200, 20, peaks),
+        lambda: posterior_case(65536, 1000, 200, 20, peaks),
+        lambda: posterior_case(8192, 1000, 200, 100, peaks),
+        lambda: gram_case(1000, 200, 20, peaks),
+        lambda: [rollout_case(1200, 20, 2, 3, peaks)],
+    ]
     os.makedirs("reports", exist_ok=True)
-    with open("reports/mfu.json", "w") as fh:
-        json.dump(out, fh, indent=2)
+    # checkpoint after EVERY case: a relay flake on a late case must not
+    # lose the finished rows (a full run through the tunnel is ~10 min)
+    for case in cases:
+        rows.extend(case())
+        with open("reports/mfu.json", "w") as fh:
+            json.dump(out, fh, indent=2)
+        print(json.dumps(rows[-1]), flush=True)
     for r in rows:
         print(json.dumps(r), flush=True)
 
