@@ -36,14 +36,23 @@ K_EXP = 32
 R_MIX = 32            # fma pairs per exp in a mixed link (~posterior mix)
 
 
-def fma_chain(x):
-    # 4 INDEPENDENT dependent-chains: a single chain is latency-limited per
-    # element (measured ~12% below what real mixed-expression kernels
-    # achieve); four give the VPU pipelines enough ILP to hit throughput.
-    ys = [x + jnp.float32(i) * jnp.float32(0.25) for i in range(4)]
-    for _ in range(K_FMA // 4):
-        ys = [y * jnp.float32(1.0000001) + jnp.float32(1e-7) for y in ys]
-    return sum(ys)
+def make_fma_chain(chains: int):
+    """K_FMA fma pairs per element split across ``chains`` INDEPENDENT
+    dependent-chains.  The peak is taken as the MAX over ILP variants
+    (4/8/16 chains): a fixed low-ILP chain is latency-limited and
+    UNDERSTATES what wide-ILP kernels achieve — round 4 measured the fused
+    posterior running 4-5% above the 4-chain 'peak', i.e. the probe, not
+    the kernel, was the bound."""
+
+    def chain(x):
+        ys = [
+            x + jnp.float32(i) * jnp.float32(0.25) for i in range(chains)
+        ]
+        for _ in range(K_FMA // chains):
+            ys = [y * jnp.float32(1.0000001) + jnp.float32(1e-7) for y in ys]
+        return sum(ys)
+
+    return chain
 
 
 def exp_chain(x):
@@ -103,8 +112,12 @@ def main():
     x = jnp.linspace(0.1, 1.0, N, dtype=jnp.float32)
 
     # floors: no TPU VPU does 50 TF/s fp32 or 20 T exp/s
-    t_fma = _measure(fma_chain, x, 2.0 * K_FMA * N / 50e12, "fma")
     flops_fma = 2.0 * K_FMA * N
+    t_by_ilp = {
+        c: _measure(make_fma_chain(c), x, flops_fma / 50e12, f"fma{c}")
+        for c in (4, 8, 16)
+    }
+    t_fma = min(t_by_ilp.values())
     vpu_tflops = flops_fma / t_fma / 1e12
 
     t_exp = _measure(exp_chain, x, K_EXP * N / 20e12, "exp")
@@ -128,6 +141,9 @@ def main():
         "exp_per_s_g": round(exps_per_s / 1e9, 3),
         "exp_fma_equiv_flops": round(exp_fma_equiv, 2),
         "fma_chain_ms": round(t_fma * 1e3, 4),
+        "fma_ms_by_ilp": {
+            str(c): round(t * 1e3, 4) for c, t in t_by_ilp.items()
+        },
         "exp_chain_ms": round(t_exp * 1e3, 4),
         "mixed_chain_ms": round(t_mix * 1e3, 4),
         "mixed_fma_pairs_per_exp": R_MIX,
