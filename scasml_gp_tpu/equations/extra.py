@@ -58,7 +58,7 @@ class HJB(Equation):
         x = x_t[:, :-1]
         return jnp.log(0.5 * (1.0 + jnp.sum(x * x, axis=1)))[:, None]
 
-    def exact_solution(self, x_t, key=None, num_mc: int = 4096,
+    def exact_solution(self, x_t, key=None, num_mc: int = 32768,
                        mc_chunk: int = 512):
         """Cole-Hopf MC: u = -ln E[exp(-g(x + sqrt(2) W_{T-t}))].
 
