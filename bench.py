@@ -73,7 +73,20 @@ def main():
         ).u[:, None]
         return u_hat + uz[:, :1]
 
-    t = device_loop_time(full_solve, x_test, iters=16, reps=3)
+    # k independent protocol runs (VERDICT round-4 Next #6): the relay's
+    # day-to-day throughput varies (bit-identical programs measured 0.63 /
+    # 0.84 / 2.12 ms across rounds), so one chained-loop measurement has no
+    # dispersion to show.  Report median + IQR over k full protocol runs and
+    # let _vs_prev flag itself unreliable when IQR/median > 20%.
+    k = 5
+    samples = sorted(
+        device_loop_time(full_solve, x_test, iters=16, reps=3)
+        for _ in range(k)
+    )
+    t = float(np.median(samples))
+    iqr = float(np.percentile(samples, 75) - np.percentile(samples, 25))
+    err(f"timing samples (s): {[round(s, 6) for s in samples]} "
+        f"median={t:.6f} iqr={iqr:.6f}")
 
     # MFU/roofline side table (scripts/mfu.py), if recorded on this machine
     try:
@@ -97,13 +110,40 @@ def main():
         # the device relay (reports/mfu_notes.md §1) — their headline
         # values are NOT comparable to v2 rounds.
         "protocol": "in-graph-chained-loop-v2",
+        "median": round(t, 6),
+        "iqr": round(iqr, 6),
+        "k": k,
     }
-    out.update(_vs_prev(t))
+    out.update(_vs_prev(t, iqr, current_round=_current_round()))
     print(json.dumps(out))
 
 
-def _vs_prev(t):
-    """Diff against the newest committed BENCH_r*.json (same-protocol only)."""
+def _current_round():
+    """Round number this benchmark run belongs to, for _vs_prev exclusion:
+    --round if given, else (newest VERDICT round) + 1 — VERDICT_r{N} is
+    written at the END of round N, so its presence means round N+1 is in
+    flight.  Falls back to None (use the newest BENCH file) when nothing
+    identifies the round."""
+    if "--round" in sys.argv:
+        return int(sys.argv[sys.argv.index("--round") + 1])
+    try:
+        import re
+
+        with open("VERDICT.md") as fh:
+            head = fh.read(200)
+        m = re.search(r"Round (\d+)", head)
+        if m:
+            return int(m.group(1)) + 1
+    except Exception:
+        pass
+    return None
+
+
+def _vs_prev(t, iqr, current_round=None):
+    """Diff against the newest committed BENCH_r*.json from a PREVIOUS round
+    (same-protocol only).  ``current_round`` excludes this round's own file,
+    so a re-run after the driver already wrote BENCH_r{N}.json still diffs
+    against round N-1 (ADVICE round-4 #4)."""
     import glob
     import re
 
@@ -111,6 +151,11 @@ def _vs_prev(t):
         glob.glob("BENCH_r*.json"),
         key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
     )
+    if current_round is not None:
+        prevs = [
+            p for p in prevs
+            if int(re.search(r"r(\d+)", p).group(1)) < current_round
+        ]
     if not prevs:
         return {}
     path = prevs[-1]
@@ -135,7 +180,16 @@ def _vs_prev(t):
         "prev_protocol": prev_proto,
     }
     if prev_proto == "in-graph-chained-loop-v2":
-        fields["vs_prev"] = round(prev_val / t, 3)  # >1 means faster now
+        if iqr / max(t, 1e-12) > 0.2:
+            # relay dispersion exceeds 20% of the median: a round-to-round
+            # ratio would measure relay weather, not the code
+            fields["vs_prev"] = None
+            fields["vs_prev_note"] = (
+                f"suppressed: IQR/median = {iqr / max(t, 1e-12):.2f} > 0.2 "
+                "(relay dispersion dominates; see reports/bench_r4_notes.md)"
+            )
+        else:
+            fields["vs_prev"] = round(prev_val / t, 3)  # >1 means faster now
     else:
         fields["vs_prev"] = None
         fields["vs_prev_note"] = (

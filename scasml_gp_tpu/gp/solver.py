@@ -249,7 +249,7 @@ class GP:
         x_dom = jnp.asarray(x_t_domain, jnp.float32)
         x_bdy = jnp.asarray(x_t_boundary, jnp.float32)
         if self._resolve_train_backend(x_dom, x_bdy) == "distributed":
-            return self._gpsolver_distributed(x_dom, x_bdy)
+            return self._gpsolver_distributed(x_dom, x_bdy, GN_steps)
         if self.mesh is not None:
             x_dom = self._shard_train_points(x_dom)
         bdy_g = self._terminal_targets(x_bdy)
@@ -300,13 +300,18 @@ class GP:
             )
         return backend
 
-    def _gpsolver_distributed(self, x_dom, x_bdy) -> jax.Array:
+    def _gpsolver_distributed(
+        self, x_dom, x_bdy, GN_steps: Optional[int] = None
+    ) -> jax.Array:
         """Large-N training: row-sharded Gram + matrix-free dual-CG GN
         (gp/distributed.py).  Uses the instance mesh when one was supplied;
         otherwise a 1 x n_devices ('data','model') mesh over the local
         devices (a single chip degenerates to an unsharded CG trainer,
         which still avoids the dense path's phi^2 inverse and (3N)^2
-        Hessian)."""
+        Hessian).  An explicit ``GN_steps`` (the ComputingBudget sweep axis,
+        harness/computing_budget.py) overrides ``cfg.dist_gn_steps`` so the
+        budget knob keeps meaning something on the large-N path (ADVICE
+        round-4 #1)."""
         from scasml_gp_tpu.gp.distributed import distributed_gpsolver
 
         mesh = self.mesh
@@ -315,9 +320,10 @@ class GP:
 
             mesh = make_mesh(data=1, model=len(jax.devices()))
         cfg = self.config
+        steps = cfg.dist_gn_steps if GN_steps is None else int(GN_steps)
         out, K = distributed_gpsolver(
             self, x_dom, x_bdy, mesh,
-            gn_steps=cfg.dist_gn_steps, cg_tol=cfg.dist_cg_tol,
+            gn_steps=steps, cg_tol=cfg.dist_cg_tol,
             cg_maxiter=cfg.dist_cg_maxiter,
         )
         del K  # free the phi^2 Gram before posterior evaluation

@@ -151,6 +151,7 @@ class _ScaSMLBase(_PicardBase):
         denominator. Signal-dominated corrections (repair regime) have
         |u_breve| >> |delta| and keep lambda ~ 1."""
         u_breve = out[:, :1]
+        bound = None
         if self.adaptive_clip is not None:
             bound = float(self.adaptive_clip) * self.GP.predict_std(x_t)
             u_breve = jnp.clip(u_breve, -bound, bound)
@@ -172,6 +173,13 @@ class _ScaSMLBase(_PicardBase):
             # such a bias (the d=250 HJB regression); no variance column
             # can see it, the probe pair can.
             a, b = u_breve_half
+            if bound is not None:
+                # same predict_std clip as the main estimate: comparing a
+                # clipped u_breve against unclipped probes would let
+                # clipping-induced differences masquerade as bias and
+                # over-shrink lambda (ADVICE round-4 #2)
+                a = jnp.clip(a, -bound, bound)
+                b = jnp.clip(b, -bound, bound)
             a, b = a[:nv], b[:nv]
             var_half = 0.5 * jnp.sum((a - b) ** 2)
             var_m = probe_var_ratio * var_half

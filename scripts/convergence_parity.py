@@ -133,17 +133,21 @@ def main(argv=None):
     # small-N sweep where its error still decays (at N >= 120 the tuned
     # default has already converged past parity mode's N=1200 error, so the
     # large-N slope measures saturation, not rate).
+    # The gate uses ONLY the small-N (unsaturated) slope: folding the large-N
+    # slope in via min() would be selection on the favorable side — a default
+    # mode that diverges at large N but decays at tiny N must not pass
+    # (ADVICE round-4 #3).  The large-N slope is reported alongside,
+    # unfolded, so saturation stays visible.
     checks = {}
     for solver in ("GP", "SCaSML"):
         sp = out["parity"]["slopes"][solver]
         sd = out["default"]["slopes"][solver]
         sd_small = out["default_small_n"]["slopes"][solver]
-        sd_best = min(sd, sd_small)  # most-negative observed default slope
-        same_sign = sp < 0 and sd_best < 0
-        mag_ok = abs(sd_best) >= abs(sp) / 3.0
+        same_sign = sp < 0 and sd_small < 0
+        mag_ok = abs(sd_small) >= abs(sp) / 3.0
         checks[solver] = {
             "parity_slope": sp,
-            "default_slope": sd,
+            "default_large_n_slope_reported_only": sd,
             "default_small_n_slope": sd_small,
             "same_sign": bool(same_sign),
             "magnitude_ok": bool(mag_ok),

@@ -339,6 +339,12 @@ def main():
         if calib > 1.0:
             for r in rows:
                 if r["roofline_bound"] == "vpu":
+                    # keep the RAW (probe-referenced) fraction alongside the
+                    # calibrated one: the calibration makes "<= 1.0" true by
+                    # construction for the witness row, and readers must be
+                    # able to tell measured headroom from calibrated headroom
+                    # (ADVICE round-4 #5)
+                    r["frac_of_probe_roofline_raw"] = r["frac_of_roofline"]
                     r["roofline_ms"] = round(r["roofline_ms"] / calib, 4)
                     r["frac_of_roofline"] = round(
                         r["frac_of_roofline"] / calib, 4

@@ -109,6 +109,20 @@ def test_gram_is_actually_sharded():
     assert out.right_vector.sharding.is_fully_replicated
 
 
+def test_gpsolver_distributed_consumes_gn_steps():
+    """ADVICE round-4 #1: GPsolver(x, y, GN_steps=k) on the distributed
+    path must run k GN steps, not silently cfg.dist_gn_steps — otherwise
+    ComputingBudget's budget sweep measures nothing at large N."""
+    eq, gp, x_dom, x_bdy = _problem(64, 16)
+    gp = GPGradDependentNonlinear(
+        eq, GPConfig(train_backend="distributed", dist_gn_steps=8,
+                     dist_cg_maxiter=40)
+    )
+    gp.GPsolver(x_dom, x_bdy, GN_steps=3)
+    # distributed_gpsolver appends the final loss once -> gn_steps + 1 rows
+    assert gp.state.loss_history.shape[0] == 4, gp.state.loss_history.shape
+
+
 @pytest.mark.slow
 def test_large_n_trains_on_mesh():
     """N_dom = 8192 (phi = 33280): the dense path's replicated inverse would
