@@ -34,6 +34,16 @@ class HJB(Equation):
         # d=250: GP 0.161 -> ScaSML 0.204).  The James-Stein variance guard
         # (picard/scasml.py) shrinks/abstains in that regime.
         self.variance_guard = True
+        # Sample-base auto-escalation (picard/scasml.py u_solve): at the
+        # flagless M = 3 the full-history correction is noise-dominated and
+        # the guard abstains (SCaSML == GP == 0.122 at d=100), but the
+        # measured repair regime lives at M = 6..15 (SimpleScaling: rel-L2
+        # 0.031-0.065).  Let the guard's own probe escalate M = 3 -> 6 -> 12
+        # until the correction is signal-dominated (lambda >= 0.5) or the
+        # cap is hit (then the abstention stands).
+        self.escalate_M = True
+        self.escalate_M_accept = 0.5
+        self.escalate_M_max = 12
         # |u| grows like ln(|x|^2) ~ ln(d) on the diffusion-reachable set
         # (g = ln((1+|x|^2)/2), E|x+sigma W|^2 ~ d), so the output clips must
         # scale with dimension or they truncate the true solution at d >~ 50
@@ -195,6 +205,13 @@ class AllenCahn(Equation):
     def terminal_constraint(self, x_t):
         x = x_t[:, :-1]
         return (1.0 / (2.0 + 0.4 * jnp.sum(x * x, axis=1)))[:, None]
+
+    def terminal_bernstein(self):
+        """(a, b) of the completely-monotone radial terminal form
+        g = 1/(a + b |x|^2): by Bernstein's theorem g is an exact mixture
+        of origin-centered Gaussians, which the semigroup surrogate
+        (gp/semigroup.py) evolves in closed form at any dimension."""
+        return (2.0, 0.4)
 
     def exact_solution(self, x_t):
         raise NotImplementedError(

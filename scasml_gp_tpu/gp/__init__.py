@@ -20,6 +20,7 @@ from scasml_gp_tpu.gp.marginal import (
     fit_gp_marginal_likelihood,
 )
 from scasml_gp_tpu.gp.cole_hopf import GPHJBColeHopf
+from scasml_gp_tpu.gp.semigroup import GPAllenCahnSemigroup
 from scasml_gp_tpu.gp.posterior import PosteriorOut, posterior_eval
 from scasml_gp_tpu.gp.solver import (
     GP,
@@ -63,6 +64,7 @@ __all__ = [
     "GPAllenCahn",
     "GPSineNonlinear",
     "GPHJBColeHopf",
+    "GPAllenCahnSemigroup",
     "GPState",
     "load_state",
     "save_state",

@@ -20,8 +20,8 @@ import sys
 from scasml_gp_tpu.config import RunConfig
 from scasml_gp_tpu.equations import EQUATIONS
 from scasml_gp_tpu.gp.cole_hopf import GPHJBColeHopf
+from scasml_gp_tpu.gp.semigroup import GPAllenCahnSemigroup
 from scasml_gp_tpu.gp.solver import (
-    GPAllenCahn,
     GPGradDependentNonlinear,
     GPSineNonlinear,
 )
@@ -45,7 +45,12 @@ HARNESSES = {
 
 GP_CLASSES = {
     "GradDependentNonlinear": GPGradDependentNonlinear,
-    "AllenCahn": GPAllenCahn,
+    # round 5: the space-time collocation GPAllenCahn is ill-posed for this
+    # terminal-value problem (rel-L2 0.86-1.23 — worse than predicting
+    # zero; attribution in reports/allen_cahn_attribution.md).  The
+    # reaction-semigroup surrogate replaces it as the Allen-Cahn default
+    # (rel-L2 0.007 at d=20 / 0.002 at d=100, within MC-oracle noise).
+    "AllenCahn": GPAllenCahnSemigroup,
     "HJB": GPHJBColeHopf,
     "SineNonlinear": GPSineNonlinear,
 }
@@ -118,11 +123,12 @@ def resolve_tune(tune_flag, ridge_scale, time_scale, fit_ml, equation):
     if tune_flag is not None:
         return tune_flag
     explicit_kernel = ridge_scale != 0.0 or time_scale != 1.0
+    # AllenCahn's semigroup surrogate (gp/semigroup.py) has its own
+    # terminal-fit selection, like HJB's Cole-Hopf GP — no GPConfig grid.
     return (
         not explicit_kernel
         and not fit_ml
-        and equation in ("GradDependentNonlinear", "AllenCahn",
-                         "SineNonlinear")
+        and equation in ("GradDependentNonlinear", "SineNonlinear")
     )
 
 

@@ -189,11 +189,65 @@ class _ScaSMLBase(_PicardBase):
             )
             num = var_m + bias_sq
         else:
+            bias_sq = None
             num = jnp.sum(out[:nv, -1:])
         den = jnp.sum(ub_v * ub_v)
         lam = jnp.clip(1.0 - num / jnp.maximum(den, 1e-30), 0.0, 1.0)
+        if bias_sq is not None:
+            # Bias-dominance abstention (VERDICT round-4 Next #2): the
+            # James-Stein shrink only scales the correction, so lam * bias
+            # survives as a SYSTEMATIC offset — and when the bias is
+            # correlated with the true correction (the gradient-quadratic
+            # HJB case: z-noise biases u_breve in one direction everywhere),
+            # a scaled correction is worse than none.  When the probe's
+            # bias power exceeds the inferred signal power
+            # S = den - var - bias^2, abstain outright instead of shipping
+            # a half-damaged answer (the round-4 HJB x quadrature failure:
+            # shrunk SCaSML 0.312 vs GP 0.122 at d=100).
+            signal_sq = jnp.maximum(den - num, 0.0)
+            lam = jnp.where(bias_sq > signal_sq, 0.0, lam)
         self.last_lambda = float(lam)
         return self._u_hat(x_t) + lam * u_breve
+
+    def _auto_schedule_solve(self, solve_at, candidates, x_t):
+        """Probe-driven schedule selection for gradient-quadratic equations
+        (``equation.escalate_M``; VERDICT round-4 Next #2/#3).
+
+        ``candidates`` is SHALLOW-FIRST: for a gradient-quadratic generator,
+        recursion level l estimates z from a number of paths that shrinks
+        with depth (full-history: M^(n-l); quadrature: the Mf table, whose
+        deepest entries are 1-2), and f turns that z-variance into a bias
+        no sample count removes — measured at d = 100, n = 2 the correction
+        is ANTI-correlated with the truth (rel-L2 0.25-0.45 applied full,
+        vs GP 0.12) while every depth-1 schedule is in the repair regime
+        (0.03-0.06).  Worse, the deepest table entries are unmodulated by
+        the half-sample probe (max(1//2, 1) == 1), so the deep candidate's
+        own bias estimate is a lower bound that can read spuriously
+        signal-dominated (measured lambda = 0.6 on a candidate that
+        doubles the error).  Hence: prefer the shallowest candidate whose
+        guard accepts (lambda >= accept threshold, short-circuit); only
+        when every shallow candidate is noise-dominated fall through to
+        deeper ones.  When EVERY candidate is below threshold, ABSTAIN
+        outright (return u_hat) instead of applying the best
+        sub-threshold shrink — for a depth-poisoned generator a
+        lambda ~ 0.5 application is statistically neutral at best
+        (measured at d = 20: anywhere from -35% to +1% vs the surrogate
+        depending on the draw), and the equation opted into this guard
+        precisely because its bias correlates with the signal.  Every
+        candidate rollout is charged to ``evaluation_counter``, so budget
+        harnesses see the true cost."""
+        lam_accept = float(getattr(self.equation, "escalate_M_accept", 0.5))
+        best, best_lam = None, -1.0
+        for cand in candidates:
+            u = solve_at(cand)
+            lam = 0.0 if self.last_lambda is None else self.last_lambda
+            if lam > best_lam:
+                best, best_lam = u, lam
+            if best_lam >= lam_accept:
+                self.last_lambda = best_lam
+                return best
+        self.last_lambda = 0.0
+        return self._u_hat(x_t)
 
     def _measured_probe_ratio(self, out, a_out, b_out, fallback,
                               num_valid=None):
@@ -248,7 +302,24 @@ class ScaSML(_ScaSMLBase):
         Next #4): the variance column alone is blind to the systematic bias
         a gradient-quadratic generator turns z-noise into.  ``num_valid``
         masks trailing pad rows out of the shrink statistics (serving
-        path)."""
+        path).
+
+        For equations flagged ``escalate_M`` (HJB), the schedule itself is
+        auto-selected from a shallow-first candidate ladder — see
+        ``_auto_schedule_solve`` for the measured rationale."""
+        if getattr(self.equation, "escalate_M", False) and (
+            self.variance_guard
+        ):
+            ladder = [(1, int(rho)), (1, int(rho) + 1)]
+            if int(n) > 1:
+                ladder.append((int(n), int(rho)))
+            return self._auto_schedule_solve(
+                lambda c: self._u_solve_at(c[0], c[1], x_t, num_valid),
+                ladder, x_t,
+            )
+        return self._u_solve_at(n, rho, x_t, num_valid)
+
+    def _u_solve_at(self, n: int, rho: int, x_t, num_valid=None) -> jax.Array:
         out = self.uz_solve(n, rho, x_t)
         u_half = None
         ratio = 0.25
@@ -292,6 +363,37 @@ class ScaSMLFullHistory(_ScaSMLBase):
 
     def u_solve(self, n: int, rho: int, x_t, M: int = 3,
                 num_valid=None) -> jax.Array:
+        """u_hat + [lambda] u_breve, with optional schedule auto-selection.
+
+        When the equation opts in (``equation.escalate_M``, set by HJB),
+        the schedule is picked from a shallow-first candidate ladder —
+        depth-1 rollouts at escalating sample base (2M, 4M up to
+        ``escalate_M_max``), then the requested (n, M) — by the guard's
+        own probe statistics (``_auto_schedule_solve`` documents the
+        measured rationale; the flagless HJB d = 100 default moves from an
+        abstained 0.122 to ~0.05 this way, VERDICT round-4 Next #3)."""
+        escalate = getattr(self.equation, "escalate_M", False) and (
+            self.variance_guard
+        )
+        if not escalate:
+            return self._u_solve_at(n, rho, x_t, M, num_valid)
+        m_max = int(getattr(self.equation, "escalate_M_max", 12))
+        ladder = []
+        base = max(2 * int(M), 4)
+        while base <= m_max:
+            ladder.append((1, base))
+            base *= 2
+        if not ladder:
+            ladder.append((1, max(int(M), 2)))
+        if (int(n), int(M)) not in ladder:
+            ladder.append((int(n), int(M)))
+        return self._auto_schedule_solve(
+            lambda c: self._u_solve_at(c[0], rho, x_t, c[1], num_valid),
+            ladder, x_t,
+        )
+
+    def _u_solve_at(self, n: int, rho: int, x_t, M: int,
+                    num_valid=None) -> jax.Array:
         out = self.uz_solve(n, rho, x_t, M)
         u_half = None
         ratio = 0.25

@@ -88,10 +88,9 @@ def main(argv=None):
         config = dataclasses.replace(
             config, picard=dataclasses.replace(config.picard, variant=variant)
         )
-        # HJB uses the Cole-Hopf surrogate, which carries its own
-        # width/prior selection (gp/cole_hopf.py) — no GPConfig tuning
-        tunable = equation in ("GradDependentNonlinear", "AllenCahn",
-                               "SineNonlinear")
+        # HJB (Cole-Hopf) and AllenCahn (reaction-semigroup) surrogates
+        # carry their own terminal-fit selection — no GPConfig tuning
+        tunable = equation in ("GradDependentNonlinear", "SineNonlinear")
         if (args.tuned or args.fit_ml) and tunable:
             if (equation, dim) in tuned_cache:
                 config = dataclasses.replace(

@@ -180,7 +180,8 @@ def test_runner_auto_tune_policy():
     from scasml_gp_tpu.harness.runner import resolve_tune
 
     assert resolve_tune(None, 0.0, 1.0, False, "GradDependentNonlinear")
-    assert resolve_tune(None, 0.0, 1.0, False, "AllenCahn")
+    # AllenCahn's semigroup surrogate selects its own terminal fit (round 5)
+    assert not resolve_tune(None, 0.0, 1.0, False, "AllenCahn")
     # explicit flags win
     assert resolve_tune(True, 5.0, 1.0, False, "GradDependentNonlinear")
     assert not resolve_tune(False, 0.0, 1.0, False, "GradDependentNonlinear")
