@@ -27,7 +27,7 @@ def _free_port() -> int:
 # No pytest.mark.timeout here: pytest-timeout is not installed in this image
 # (the marker would be inert); the subprocess communicate(timeout=240) below
 # is the real hang guard.
-def test_two_process_distributed_rollout():
+def _run_children(mode: str):
     port = _free_port()
     env = dict(os.environ)
     # children must see ONLY the repo: a sitecustomize on the inherited
@@ -38,7 +38,7 @@ def test_two_process_distributed_rollout():
     env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen(
-            [sys.executable, CHILD, str(pid), str(port)],
+            [sys.executable, CHILD, str(pid), str(port), mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             text=True,
         )
@@ -57,5 +57,20 @@ def test_two_process_distributed_rollout():
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
         assert f"OK process={pid}" in out, out
     # the replicated reduction must agree bit-for-bit across processes
-    sums = {o.strip().split("sum=")[1].splitlines()[0] for o in outs}
+    sums = {
+        o.strip().split("sum=")[1].split()[0].splitlines()[0] for o in outs
+    }
     assert len(sums) == 1, sums
+
+
+def test_two_process_distributed_rollout():
+    _run_children("rollout")
+
+
+def test_two_process_distributed_trainer():
+    """The dual-CG GP trainer's cross-process all-gather (VERDICT round-4
+    Next #7): make_distributed_train runs on a 2-process x 2-device global
+    'model' mesh; the children assert dense-trainer agreement and this
+    parent asserts the replicated representer weights agree across
+    processes."""
+    _run_children("trainer")
