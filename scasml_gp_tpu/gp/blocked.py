@@ -46,9 +46,10 @@ import jax
 import jax.numpy as jnp
 
 
-def _gemm(a, b):
+def _gemm(a, b, precision):
     return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision,
     )
 
 
@@ -60,10 +61,19 @@ def _split_point(n: int, block: int) -> int:
     return h
 
 
-def chol_inv(S: jax.Array, block: int = 512) -> Tuple[jax.Array, jax.Array]:
+def chol_inv(S: jax.Array, block: int = 512,
+             precision=jax.lax.Precision.HIGHEST,
+             ) -> Tuple[jax.Array, jax.Array]:
     """(L, L^{-1}) of an SPD matrix, GEMM-dominant recursion (see module
     docstring).  ``S`` must be symmetric positive definite; shapes are
-    static, so this traces into a fixed graph."""
+    static, so this traces into a fixed graph.
+
+    ``precision`` applies to the panel/Schur/inverse GEMMs.  On TPU the
+    DEFAULT fp32 dot runs reduced-precision passes, which loses the
+    trailing Schur complement's positive-definiteness on the real training
+    operand (measured: non-finite factor -> jitter retry -> 2.5x slower
+    AND a different inverse); HIGHEST keeps the factorization at true-fp32
+    accuracy (CPU-reference agreement ~1e-5)."""
     n = S.shape[0]
     if n <= block:
         L = jnp.linalg.cholesky(S)
@@ -72,18 +82,22 @@ def chol_inv(S: jax.Array, block: int = 512) -> Tuple[jax.Array, jax.Array]:
         )
         return L, Li
     h = _split_point(n, block)
-    LA, LAi = chol_inv(S[:h, :h], block)
-    Lb = _gemm(S[h:, :h], LAi.T)                    # panel, GEMM
-    Schur = S[h:, h:] - _gemm(Lb, Lb.T)             # trailing update, syrk
-    LC, LCi = chol_inv(Schur, block)
+    LA, LAi = chol_inv(S[:h, :h], block, precision)
+    Lb = _gemm(S[h:, :h], LAi.T, precision)         # panel, GEMM
+    Schur = S[h:, h:] - _gemm(Lb, Lb.T, precision)  # trailing update, syrk
+    LC, LCi = chol_inv(Schur, block, precision)
     zero = jnp.zeros((h, n - h), dtype=S.dtype)
     L = jnp.block([[LA, zero], [Lb, LC]])
-    Li = jnp.block([[LAi, zero], [-_gemm(LCi, _gemm(Lb, LAi)), LCi]])
+    Li = jnp.block(
+        [[LAi, zero], [-_gemm(LCi, _gemm(Lb, LAi, precision), precision),
+                       LCi]]
+    )
     return L, Li
 
 
-@partial(jax.jit, static_argnames=("block",))
-def blocked_spd_inverse(M: jax.Array, block: int = 512) -> jax.Array:
+@partial(jax.jit, static_argnames=("block", "precision"))
+def blocked_spd_inverse(M: jax.Array, block: int = 512,
+                        precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """M^{-1} for SPD M via the blocked joint factorization, with the same
     escalating-jitter retry semantics as gp/gram.py's monolithic path
     (retries only execute when the plain factorization produced a
@@ -91,8 +105,8 @@ def blocked_spd_inverse(M: jax.Array, block: int = 512) -> jax.Array:
     eye = jnp.eye(M.shape[0], dtype=M.dtype)
 
     def inv_of(Mj):
-        _, Li = chol_inv(Mj, block)
-        return _gemm(Li.T, Li)
+        _, Li = chol_inv(Mj, block, precision)
+        return _gemm(Li.T, Li, precision)
 
     def cond(carry):
         Minv, jitter, tries = carry

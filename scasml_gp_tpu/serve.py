@@ -67,6 +67,14 @@ def save_surrogate(path: str, gp) -> None:
         for k in ("v_floor", "width", "fit_nugget")
         if hasattr(gp, k)
     }
+    # Allen-Cahn semigroup surrogate (gp/semigroup.py): the state layout
+    # differs between its terminal backends, so the backend must be pinned
+    # (and the rbf backend's selected width restored, so a reloaded
+    # instance does not re-run selection against absent data)
+    if hasattr(gp, "terminal_backend"):
+        extra["terminal_backend"] = gp.terminal_backend
+        if gp.terminal_backend == "rbf":
+            extra["width"] = float(gp.state.gamma[0])
     if extra:
         manifest["gp_kwargs"] = extra
     with open(os.path.join(path, "manifest.json"), "w") as fh:

@@ -72,26 +72,41 @@ def main():
     err(f"monolithic regularized_factorization: {t_mono*1e3:.3f} ms")
 
     # blocked sweep on the equilibrated operand (same algebraic object the
-    # monolith factors internally)
+    # monolith factors internally).  Precision matters: TPU DEFAULT fp32
+    # dots run reduced-precision passes that lose the Schur complement's
+    # positive-definiteness on this operand (first probe run: non-finite
+    # factor -> jitter retry -> 24 ms AND a different inverse); sweep the
+    # explicit precision levels alongside the block size.
     best = None
-    for blk in args.blocks:
-        fn = lambda Mi, b=blk: blocked_spd_inverse(Mi, block=b)
-        t = device_loop_time(fn, M, iters=24, base_iters=8)
-        Minv = np.asarray(fn(M))
-        C_blk = np.asarray(scale)[:, None] * Minv * np.asarray(scale)[None, :]
-        rel = float(
-            np.linalg.norm(C_blk - C_ref) / np.linalg.norm(C_ref)
-        )
-        row = {"block": blk, "time_ms": round(t * 1e3, 4),
-               "rel_vs_monolith": rel}
-        out["rows"].append(row)
-        err(json.dumps(row))
-        if best is None or t < best[1]:
-            best = (blk, t)
+    precisions = [("high", jax.lax.Precision.HIGH),
+                  ("highest", jax.lax.Precision.HIGHEST)]
+    for prec_name, prec in precisions:
+        for blk in args.blocks:
+            fn = lambda Mi, b=blk, p=prec: blocked_spd_inverse(
+                Mi, block=b, precision=p
+            )
+            t = device_loop_time(fn, M, iters=24, base_iters=8)
+            Minv = np.asarray(fn(M))
+            C_blk = (np.asarray(scale)[:, None] * Minv
+                     * np.asarray(scale)[None, :])
+            rel = float(
+                np.linalg.norm(C_blk - C_ref) / np.linalg.norm(C_ref)
+            )
+            row = {"block": blk, "precision": prec_name,
+                   "time_ms": round(t * 1e3, 4), "rel_vs_monolith": rel}
+            out["rows"].append(row)
+            err(json.dumps(row))
+            ok = rel < 1e-2
+            if ok and (best is None or t < best[1]):
+                best = ((blk, prec_name), t)
 
-    out["best_block"] = best[0]
-    out["best_ms"] = round(best[1] * 1e3, 4)
-    out["speedup_vs_monolith"] = round(t_mono / best[1], 3)
+    if best is None:
+        out["best_block"] = None
+        out["note"] = "no accurate blocked configuration"
+    else:
+        out["best_block"] = best[0]
+        out["best_ms"] = round(best[1] * 1e3, 4)
+        out["speedup_vs_monolith"] = round(t_mono / best[1], 3)
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=2)
     print(json.dumps(out))

@@ -182,6 +182,34 @@ def test_hjb_cole_hopf_checkpoint_round_trip(tmp_path):
     assert out.shape == (64, 1) and np.isfinite(out).all()
 
 
+@pytest.mark.parametrize("backend", ["mixture", "rbf"])
+def test_allen_cahn_semigroup_checkpoint_round_trip(tmp_path, backend):
+    """Round-5 Allen-Cahn surrogate: both terminal backends round-trip
+    through save/load (the manifest pins the backend — the two backends
+    interpret GPState differently — and the rbf backend's selected width,
+    so no re-selection happens against absent data)."""
+    from scasml_gp_tpu.equations import EQUATIONS
+    from scasml_gp_tpu.gp.semigroup import GPAllenCahnSemigroup
+
+    eq = EQUATIONS["AllenCahn"](n_input=D + 1)
+    gp = GPAllenCahnSemigroup(eq, terminal_backend=backend)
+    x_dom, x_bdy = eq.generate_data(120, 30, key=jax.random.PRNGKey(0))
+    gp.GPsolver(x_dom, x_bdy)
+    path = str(tmp_path / f"ac_{backend}_ckpt")
+    save_surrogate(path, gp)
+    gp2 = load_surrogate(path)
+    assert type(gp2).__name__ == "GPAllenCahnSemigroup"
+    assert gp2.terminal_backend == backend
+    x = eq.geometry().sample_domain(jax.random.PRNGKey(1), 64)
+    np.testing.assert_allclose(
+        np.asarray(gp2.predict(x)), np.asarray(gp.predict(x)), atol=1e-6
+    )
+    sca = ScaSMLFullHistory(eq, gp2)
+    server = SurrogateServer(gp2, sca, buckets=(64,), n=1, rho=None, M=2)
+    out = server.solve(np.asarray(x))
+    assert out.shape == (64, 1) and np.isfinite(out).all()
+
+
 def test_empty_request(trained_gp):
     eq, gp = trained_gp
     sca = ScaSMLFullHistory(eq, gp)
