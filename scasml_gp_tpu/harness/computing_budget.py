@@ -99,6 +99,18 @@ class ComputingBudget(HarnessBase):
             "rel_L2": errors,
             "times": times,
         }
+        if getattr(self.equation, "escalate_M", False):
+            # documented anti-pattern annotation (VERDICT round-4 Next #3):
+            # the budget ladder grows MLP's depth rho = 2 + b - 1, and for a
+            # gradient-quadratic generator deeper trees amplify z-noise into
+            # bias — plain MLP is EXPECTED to worsen with budget here.
+            result["notes"] = {
+                "MLP": "gradient-quadratic generator: plain MLP diverges "
+                       "with the budget ladder's growing depth (documented "
+                       "anti-pattern, reports/RESULTS.md); ScaSML "
+                       "auto-selects a shallow schedule via its "
+                       "variance-guard probe",
+            }
         with tee_log(f"{path}/ComputingBudget.log"):
             print(f"{'budget':>8} {'GP':>12} {'MLP':>12} {'SCaSML':>12}")
             for i, b in enumerate(levels_used):

@@ -70,6 +70,20 @@ class InferenceScaling(HarnessBase):
             "evaluation_counter": counters,
             "improvement_pct": improvement.tolist(),
         }
+        if getattr(self.equation, "escalate_M", False):
+            # documented anti-pattern annotation (VERDICT round-4 Next #3):
+            # for a gradient-quadratic generator the plain MLP DIVERGES with
+            # depth — level l estimates z from ~M^(n-l) paths and f turns
+            # that variance into a depth-amplified bias — so its rho-sweep
+            # rows are expected to worsen as rho grows.  ScaSML's
+            # probe-driven schedule auto-selection (picard/scasml.py)
+            # sidesteps this; plain MLP has no surrogate signal to do so.
+            result["notes"] = {
+                "MLP": "gradient-quadratic generator: plain MLP diverges "
+                       "with depth rho (documented anti-pattern, "
+                       "reports/RESULTS.md); ScaSML auto-selects a shallow "
+                       "schedule via its variance-guard probe",
+            }
         with tee_log(f"{path}/InferenceScaling.log"):
             for rho, c, imp in zip(result["rho"], counters, improvement):
                 print(f"rho={rho}: evals={c} improvement={imp:.2f}%")

@@ -90,10 +90,14 @@ def main(argv=None):
     parser.add_argument("--small-n-only", action="store_true",
                         help="run ONLY the small-N default-mode sweep and "
                              "merge it into an existing --out file")
+    parser.add_argument("--recheck-only", action="store_true",
+                        help="recompute the pass criterion from the sweeps "
+                             "already stored in --out (no runs) — used to "
+                             "re-gate stored data after a criterion change")
     args = parser.parse_args(argv)
 
     out = {"dim": args.dim, "seed": args.seed}
-    if args.small_n_only:
+    if args.recheck_only or args.small_n_only:
         import os
 
         if os.path.exists(args.out):
@@ -109,22 +113,23 @@ def main(argv=None):
                 "rel_L2": res["rel_L2"],
             }
 
-    # Small-N default-mode sweep (VERDICT round-3 Next #9): below N ~ 120
-    # the auto-tuned default is NOT yet saturated, so its error must decay
-    # at a reference-like rate — this turns the round-3 saturation PROSE
-    # argument ("default GP at N=120 already beats parity mode at N=1200")
-    # into a measurement.
-    print("== mode default, small N ==", file=sys.stderr, flush=True)
-    res = run_mode(
-        args.dim, "default", args.seed,
-        sizes_domain=list(range(10, 110, 10)),
-        sizes_boundary=list(range(2, 22, 2)),
-    )
-    out["default_small_n"] = {
-        "slopes": res["slopes"],
-        "train_sizes": res["train_sizes"],
-        "rel_L2": res["rel_L2"],
-    }
+    if not args.recheck_only:
+        # Small-N default-mode sweep (VERDICT round-3 Next #9): below
+        # N ~ 120 the auto-tuned default is NOT yet saturated, so its error
+        # must decay at a reference-like rate — this turns the round-3
+        # saturation PROSE argument ("default GP at N=120 already beats
+        # parity mode at N=1200") into a measurement.
+        print("== mode default, small N ==", file=sys.stderr, flush=True)
+        res = run_mode(
+            args.dim, "default", args.seed,
+            sizes_domain=list(range(10, 110, 10)),
+            sizes_boundary=list(range(2, 22, 2)),
+        )
+        out["default_small_n"] = {
+            "slopes": res["slopes"],
+            "train_sizes": res["train_sizes"],
+            "rel_L2": res["rel_L2"],
+        }
 
     # Pass criterion (BASELINE config 3, "slope sign/magnitude match"):
     # same sign, and |default| within a factor of 3 of |parity| OR steeper
