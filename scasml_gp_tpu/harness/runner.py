@@ -258,6 +258,17 @@ def main(argv=None):
                 from scasml_gp_tpu.gp.marginal import fit_gp_marginal_likelihood
                 from scasml_gp_tpu.gp.tuning import tune_gp
 
+                if config.dim > 20:
+                    print(
+                        "warning: --fit-ml at d > 20 is a grid-seeded "
+                        "REFINER, not a standalone fitter — the profile-MAP "
+                        "NLML descent converges to over-smooth kernels at "
+                        "high d and the validation guard falls back to the "
+                        "grid winner (measured attribution: "
+                        "reports/ml_tuner_diagnosis.md)",
+                        file=sys.stderr,
+                    )
+
                 # Seed the ML restarts from the grid winner (and keep it in
                 # the candidate table), so --fit-ml can never ship a config
                 # that validates worse than the grid recommendation.

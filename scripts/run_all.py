@@ -111,9 +111,22 @@ def main(argv=None):
                         fit_gp_marginal_likelihood,
                     )
 
-                    tuned = fit_gp_marginal_likelihood(
+                    # seed with the grid winner, exactly like the runner
+                    # CLI: the unseeded fit was the round-4 campaign_ml
+                    # failure — at d >= 40 the profile-MAP descent
+                    # converges to over-smooth kernels that validate and
+                    # test far worse than the grid winner, and without the
+                    # seed the validation guard has nothing better to pick
+                    # (measured: reports/ml_tuner_diagnosis.md)
+                    grid = tune_gp(
                         GP_CLASSES[config.equation], eq, x_dom, x_bdy,
                         base=config.gp,
+                        ridge_scales=(0.0, 10.0, 30.0, 100.0, 300.0),
+                        gamma_scales=(1.0, 0.3, 0.1, 0.05),
+                    )
+                    tuned = fit_gp_marginal_likelihood(
+                        GP_CLASSES[config.equation], eq, x_dom, x_bdy,
+                        base=config.gp, seed_configs=(grid.config,),
                     )
                 else:
                     # ridge resolves the high-d mean direction; gamma_scale
