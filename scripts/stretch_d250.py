@@ -109,7 +109,7 @@ def leg_tpu():
     from scasml_gp_tpu.config import GPConfig
     from scasml_gp_tpu.equations import HJB, AllenCahn
     from scasml_gp_tpu.gp.cole_hopf import GPHJBColeHopf
-    from scasml_gp_tpu.gp.solver import GPAllenCahn
+    from scasml_gp_tpu.gp.semigroup import GPAllenCahnSemigroup
     from scasml_gp_tpu.harness.metrics import mc_reference_solution
     from scasml_gp_tpu.picard import MLPFullHistory, ScaSMLFullHistory
 
@@ -180,9 +180,13 @@ def leg_tpu():
     }
     print(json.dumps(results["hjb"], indent=2), flush=True)
 
-    # ---- Allen-Cahn d=250: collocation GP + ScaSML vs deep Picard --------
+    # ---- Allen-Cahn d=250: reaction-semigroup GP + ScaSML vs deep Picard
+    # (round 5: the collocation GP measured 1.62 rel-L2 here — the
+    # terminal-value ill-posedness attributed in
+    # reports/allen_cahn_attribution.md; the semigroup surrogate replaces
+    # it at every d)
     eq2 = AllenCahn(n_input=D + 1)
-    gp2 = GPAllenCahn(eq2, GPConfig(gn_steps=8))
+    gp2 = GPAllenCahnSemigroup(eq2)
     xd2, xb2 = eq2.generate_data(400, 100, key=jax.random.PRNGKey(0))
     _, t_train2 = _timed(gp2.GPsolver, xd2, xb2)
     print(f"Allen-Cahn GP train: {t_train2:.2f}s", flush=True)
@@ -204,7 +208,9 @@ def leg_tpu():
 
     results["allen_cahn"] = {
         "pde": "Allen-Cahn u_t + Lap u + u - u^3 = 0, d=250, T=0.3",
-        "surrogate": "collocation GP (AllenCahnForm), N=400+100",
+        "surrogate": "reaction-semigroup GP (Bernstein mixture, "
+                     "gp/semigroup.py)",
+        "round4_collocation_GP_rel_L2": 1.6200271766771754,
         "reference": "deep Picard (n=3, M=8)",
         "n": 2, "M": 8, "test_points": 128,
         "rel_L2": {"GP": rel_gp2, "MLP": rel_mlp2, "ScaSML": rel_sca2},
