@@ -68,6 +68,16 @@ class HJB(Equation):
         x = x_t[:, :-1]
         return jnp.log(0.5 * (1.0 + jnp.sum(x * x, axis=1)))[:, None]
 
+    def terminal_bernstein_v(self):
+        """(a, b) of the log-rational terminal form g = ln((1 + b|x|^2)/a):
+        the Cole-Hopf transformed terminal v_T = e^{-k g} = a^k (1+b q)^{-k}
+        is completely monotone in q = |x|^2, so Bernstein's theorem gives
+        the exact Gaussian mixture
+            (1+bq)^{-k} = (1/Gamma(k)) int t^{k-1} e^{-t} e^{-t b q} dt,
+        which the Cole-Hopf surrogate (gp/cole_hopf.py) discretizes by
+        generalized Gauss-Laguerre and evolves in closed form."""
+        return (2.0, 1.0)
+
     def exact_solution(self, x_t, key=None, num_mc: int = 32768,
                        mc_chunk: int = 512):
         """Cole-Hopf MC: u = -ln E[exp(-g(x + sqrt(2) W_{T-t}))].

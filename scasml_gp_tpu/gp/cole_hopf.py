@@ -130,13 +130,38 @@ class GPHJBColeHopf(GP):
 
     def __init__(self, equation, config=None, precision=None, mesh=None,
                  v_floor: float = 1e-4, width: Optional[float] = None,
-                 fit_nugget: float = 1e-4):
+                 fit_nugget: float = 1e-4, terminal_backend: str = "auto",
+                 mixture_nodes: int = 64):
         super().__init__(equation, config, precision=precision, mesh=mesh)
         sig = float(equation.sigma())
         self.k = 2.0 / sig**2
         self.sig2 = sig**2
         self.v_floor = float(v_floor)
         self.fit_nugget = float(fit_nugget)
+        # Terminal-fit backend (round 5, mirroring gp/semigroup.py): the
+        # HJB terminal v_T = e^{-k g} = a^k (1 + b|x|^2)^{-k} is completely
+        # monotone in |x|^2, so Bernstein's theorem gives an EXACT mixture
+        # of origin-centered Gaussians,
+        #     (1+bq)^{-k} = (1/Gamma(k)) int t^{k-1} e^{-t} e^{-tbq} dt,
+        # discretized by generalized Gauss-Laguerre (alpha = k-1) — each
+        # component evolves under the heat semigroup in closed form, so the
+        # v-flow (and hence u) is essentially EXACT: the scattered-RBF
+        # terminal fit's 0.087-0.158 rel-L2 (d=20..250) — previously the
+        # DOMINANT error of the whole HJB pipeline — disappears.  'auto'
+        # uses the mixture when the equation exposes the structure
+        # (equation.terminal_bernstein_v), scattered-RBF otherwise.
+        self.mixture_nodes = int(mixture_nodes)
+        bern = getattr(equation, "terminal_bernstein_v", None)
+        if terminal_backend == "auto":
+            terminal_backend = "mixture" if bern is not None else "rbf"
+        if terminal_backend == "mixture" and bern is None:
+            raise ValueError(
+                "terminal_backend='mixture' needs equation."
+                "terminal_bernstein_v() -> (a, b) with g = ln((1+b|x|^2)/a)"
+            )
+        if terminal_backend not in ("mixture", "rbf"):
+            raise ValueError(f"unknown terminal_backend {terminal_backend!r}")
+        self.terminal_backend = terminal_backend
         # Kernel width must scale like sqrt(d): per-coordinate diffusion
         # reach is sigma*sqrt(T), so typical inter-point distances grow as
         # sqrt(d * sigma^2 T); a fixed width makes every bump exponent
@@ -162,6 +187,8 @@ class GPHJBColeHopf(GP):
         if key is None:
             key = jax.random.PRNGKey(0)
         eq = self.equation
+        if self.terminal_backend == "mixture":
+            return self._fit_mixture(jnp.asarray(x_t_domain, jnp.float32))
         x_all = jnp.concatenate(
             [jnp.asarray(x_t_domain, jnp.float32),
              jnp.asarray(x_t_boundary, jnp.float32)], axis=0
@@ -202,8 +229,41 @@ class GPHJBColeHopf(GP):
         )
         return self.predict(jnp.asarray(x_t_domain, jnp.float32))
 
+    def _fit_mixture(self, x_dom):
+        """Exact Bernstein terminal mixture (constructor docstring) — no
+        data fit, no Cholesky.  Discretized by the composite log-panel
+        rule (gp/semigroup.py bernstein_panel_nodes), which resolves the
+        evolved integrand's concentration at t ~ 1/(d sig2 tau) — plain
+        generalized Gauss-Laguerre degraded to rel-L2 0.36 at d=250.  The
+        state stores mixture weights in ``right_vector`` and Gaussian
+        rates in ``sol`` (the layout the shared evolution kernel
+        consumes)."""
+        from scasml_gp_tpu.gp.semigroup import bernstein_panel_nodes
+
+        a, b = map(float, self.equation.terminal_bernstein_v())
+        k = self.k
+        t, w = bernstein_panel_nodes(k)
+        weights = jnp.asarray((a**k) * w, jnp.float32)
+        rates = jnp.asarray(b * t, jnp.float32)
+        self.state = GPState(
+            x_dom=x_dom,
+            x_bdy=jnp.zeros((1, self.d + 1), jnp.float32),  # placeholder
+            right_vector=weights,
+            sol=rates,
+            gamma=jnp.asarray([self.k, a, b], jnp.float32),
+            loss_history=jnp.zeros((1,), jnp.float32),  # exact representation
+        )
+        return self.predict(x_dom)
+
     # -- posterior --------------------------------------------------------
     def _v_posterior(self, params: GPState, x, want_grad, want_ops):
+        if self.terminal_backend == "mixture":
+            from scasml_gp_tpu.gp.semigroup import mixture_features
+
+            return mixture_features(
+                x, params.right_vector, params.sol, self.sig2,
+                float(self.equation.T), self.d, want_grad, want_ops,
+            )
         dim = self.d
         T = float(self.equation.T)
 

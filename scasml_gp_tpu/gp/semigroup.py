@@ -98,6 +98,80 @@ from scasml_gp_tpu.gp.state import GPState
 _BETA_GRID = (0.5, 0.6, 0.7, 0.8, 1.0)
 
 
+def bernstein_panel_nodes(k: float, t_min: float = 1e-5,
+                          t_max: float = 60.0, per_panel: int = 8,
+                          ratio: float = 2.0):
+    """Composite log-panel Gauss-Legendre nodes/weights for the Bernstein
+    integral  (1+bq)^{-k} = (1/Gamma(k)) int_0^inf t^{k-1} e^{-t} e^{-tbq} dt.
+
+    Plain (generalized) Gauss-Laguerre under-resolves the EVOLVED
+    integrand: the heat factor (1 + 2 t b sig2 tau)^{-d/2} ~ e^{-t d b
+    sig2 tau} concentrates the mass at t ~ 1/(d sig2 tau) — 4e-3 at HJB
+    d=250, far below the smallest 64-node Laguerre node (0.022); measured
+    rel-L2 degraded to 0.36 at d=250.  Log-spaced panels from ``t_min`` to
+    ``t_max`` (geometric ratio) with ``per_panel`` Gauss-Legendre nodes
+    each resolve EVERY concentration scale >= t_min at once, for any
+    (d, tau, r^2) — the node set stays fixed (so the mixture components
+    stay genuine Gaussians and the closed-form derivative algebra is
+    untouched).  Returns (t, w) with w absorbing t^{k-1} e^{-t} and the
+    1/Gamma(k) normalization.
+    """
+    import math as _math
+
+    import numpy as _np
+
+    gx, gw = _np.polynomial.legendre.leggauss(per_panel)
+    edges = [0.0, t_min]
+    while edges[-1] < t_max:
+        edges.append(min(edges[-1] * ratio, t_max))
+    ts, ws = [], []
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        mid, half = 0.5 * (hi + lo), 0.5 * (hi - lo)
+        t = mid + half * gx
+        ts.append(t)
+        ws.append(half * gw * _np.power(t, k - 1.0) * _np.exp(-t))
+    t = _np.concatenate(ts)
+    w = _np.concatenate(ws) / _math.gamma(k)
+    return t, w
+
+
+def mixture_features(x, weights, rates, sig2, T, dim,
+                     want_grad: bool, want_ops: bool):
+    """Closed-form heat evolution of an origin-centered Gaussian mixture
+    F(y) = sum_k w_k e^{-c_k |y|^2} under P_tau (generator (sig2/2) Lap):
+
+        V(x, t) = sum_k w_k den_k^{-d/2} exp(-c_k r^2 / den_k),
+        den_k = 1 + 2 c_k sig2 tau,   tau = T - t,  r^2 = |x|^2.
+
+    Returns (V, grad_sp, dt_V, div_V, lap_V) with dt_V = -(sig2/2) lap_V
+    exact (V solves the heat equation).  Shared by the Allen-Cahn
+    reaction-semigroup surrogate (u-space mixture) and the Cole-Hopf HJB
+    surrogate's mixture backend (v-space mixture): both terminal
+    conditions are completely monotone in |x|^2, so Bernstein's theorem
+    gives exact mixtures of exactly this form."""
+    xs = x[:, :dim]
+    tau = jnp.maximum(T - x[:, dim], 0.0)                     # (n,)
+    r2 = jnp.sum(xs * xs, axis=1)                             # (n,)
+    den = 1.0 + 2.0 * rates[None, :] * sig2 * tau[:, None]    # (n, nq)
+    ceff = rates[None, :] / den                               # (n, nq)
+    # den^{-d/2} via exp(log) — d/2 can exceed fp32 pow stability at
+    # large d
+    A = weights[None, :] * jnp.exp(
+        -0.5 * dim * jnp.log(den) - ceff * r2[:, None]
+    )                                                         # (n, nq)
+    V = jnp.sum(A, axis=1)
+    grad_sp = dt_V = div_V = lap_V = None
+    if want_grad or want_ops:
+        B = jnp.sum(A * ceff, axis=1)                         # (n,)
+        grad_sp = -2.0 * B[:, None] * xs
+    if want_ops:
+        C2 = jnp.sum(A * ceff * ceff, axis=1)
+        lap_V = -2.0 * dim * B + 4.0 * C2 * r2
+        dt_V = -(sig2 / 2.0) * lap_V                          # exact
+        div_V = -2.0 * B * jnp.sum(xs, axis=1)
+    return V, grad_sp, dt_V, div_V, lap_V
+
+
 class GPAllenCahnSemigroup(GP):
     """Reaction-semigroup surrogate for Allen-Cahn (round-5 replacement for
     the ill-posed space-time collocation; see module docstring).
@@ -149,12 +223,13 @@ class GPAllenCahnSemigroup(GP):
         return self.predict(x_dom)
 
     def _fit_mixture(self, x_dom):
-        """Exact Bernstein/Gauss-Laguerre terminal mixture — no data fit at
-        all.  1/(a + b q) = sum_k (w_k / a) e^{-(b/a) t_k q} with (t_k, w_k)
-        the Gauss-Laguerre nodes/weights; quadrature error < 1e-6 over the
-        reachable q = |x|^2 range for 64 nodes."""
+        """Exact Bernstein terminal mixture — no data fit at all:
+        1/(a + b q) = (1/a) int e^{-t} e^{-(b/a) t q} dt, discretized by
+        the composite log-panel rule (:func:`bernstein_panel_nodes`, which
+        resolves the evolved integrand's 1/(d sig2 tau) concentration at
+        any d — plain Gauss-Laguerre degrades past d ~ 100)."""
         a, b = map(float, self.equation.terminal_bernstein())
-        t, w = np.polynomial.laguerre.laggauss(self.mixture_nodes)
+        t, w = bernstein_panel_nodes(1.0)
         weights = jnp.asarray(w / a, jnp.float32)
         rates = jnp.asarray((b / a) * t, jnp.float32)
         d = self.d
@@ -246,35 +321,12 @@ class GPAllenCahnSemigroup(GP):
 
     # -- posterior --------------------------------------------------------
     def _mixture_features(self, params: GPState, x, want_grad, want_ops):
-        """Closed-form heat evolution of the origin-centered Gaussian
-        mixture: V = sum_k w_k den_k^{-d/2} exp(-c_k r^2 / den_k),
-        den_k = 1 + 2 c_k sigma^2 tau.  Returns (V, grad_sp, dt_V, div_V,
-        lap_V) with dt_V = -(sigma^2/2) lap_V exact."""
-        d = self.d
-        T = float(self.equation.T)
-        w = params.right_vector            # (nq,)
-        c = params.sol                     # (nq,)
-        xs = x[:, :d]
-        tau = jnp.maximum(T - x[:, d], 0.0)            # (n,)
-        r2 = jnp.sum(xs * xs, axis=1)                  # (n,)
-        den = 1.0 + 2.0 * c[None, :] * self.sig2 * tau[:, None]   # (n, nq)
-        ceff = c[None, :] / den                        # (n, nq)
-        # den^{-d/2} via exp(log) — d/2 can exceed fp32 pow stability at
-        # large d; log1p keeps it exact for small arguments
-        A = w[None, :] * jnp.exp(
-            -0.5 * d * jnp.log(den) - ceff * r2[:, None]
-        )                                              # (n, nq)
-        V = jnp.sum(A, axis=1)
-        grad_sp = dt_V = div_V = lap_V = None
-        if want_grad or want_ops:
-            B = jnp.sum(A * ceff, axis=1)              # (n,)
-            grad_sp = -2.0 * B[:, None] * xs
-        if want_ops:
-            C2 = jnp.sum(A * ceff * ceff, axis=1)
-            lap_V = -2.0 * d * B + 4.0 * C2 * r2
-            dt_V = -(self.sig2 / 2.0) * lap_V          # exact heat identity
-            div_V = -2.0 * B * jnp.sum(xs, axis=1)
-        return V, grad_sp, dt_V, div_V, lap_V
+        """See :func:`mixture_features` (shared with the Cole-Hopf HJB
+        surrogate's mixture backend)."""
+        return mixture_features(
+            x, params.right_vector, params.sol, self.sig2,
+            float(self.equation.T), self.d, want_grad, want_ops,
+        )
 
     def _rbf_features(self, params: GPState, x, want_grad, want_ops):
         """Heat-evolved scattered interpolant via the shared bump algebra

@@ -48,8 +48,12 @@ def test_allen_cahn_gp_scasml_pipeline():
 
 
 def _trained_hjb_gp(gn_steps=6):
+    # the rbf backend: these tests exercise the scattered-bump algebra and
+    # the coarse-surrogate regime (the round-5 default is the exact
+    # Bernstein mixture backend, tested separately below)
     eq = HJB(n_input=D + 1)
-    gp = GPHJBColeHopf(eq, GPConfig(gn_steps=gn_steps))
+    gp = GPHJBColeHopf(eq, GPConfig(gn_steps=gn_steps),
+                       terminal_backend="rbf")
     # terminal-fit centers: m = 600 -> rel-L2 ~0.027 at d=4 (the fit is one
     # m x m Cholesky; accuracy saturates by m ~ 600)
     x_dom, x_bdy = eq.generate_data(500, 100, key=jax.random.PRNGKey(3))
@@ -136,7 +140,7 @@ def test_hjb_gp_scasml_pipeline():
     signal: measured corr(u_breve, err_gp) = +0.89 at M=8 (+0.99 at M=32),
     rel-L2 0.45 -> 0.16 (M=8) -> 0.047 (M=32)."""
     eq = HJB(n_input=D + 1)
-    gp = GPHJBColeHopf(eq, GPConfig(gn_steps=6))
+    gp = GPHJBColeHopf(eq, GPConfig(gn_steps=6), terminal_backend="rbf")
     x_dom, x_bdy = eq.generate_data(80, 20, key=jax.random.PRNGKey(30))
     gp.GPsolver(x_dom, x_bdy)
     x_test = eq.geometry().sample_domain(jax.random.PRNGKey(6), 128)
@@ -171,7 +175,7 @@ def test_hjb_gp_scasml_quadrature():
     from scasml_gp_tpu.picard import ScaSML
 
     eq = HJB(n_input=D + 1)
-    gp = GPHJBColeHopf(eq, GPConfig(gn_steps=6))
+    gp = GPHJBColeHopf(eq, GPConfig(gn_steps=6), terminal_backend="rbf")
     x_dom, x_bdy = eq.generate_data(80, 20, key=jax.random.PRNGKey(30))
     gp.GPsolver(x_dom, x_bdy)
     x_test = eq.geometry().sample_domain(jax.random.PRNGKey(6), 96)
