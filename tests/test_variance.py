@@ -155,6 +155,50 @@ def test_guarded_quadrature_scasml_on_hjb():
     ) + 1e-6
 
 
+def test_auto_schedule_ladder_selection():
+    """Deterministic unit test of the shallow-first schedule ladder
+    (picard/scasml.py _auto_schedule_solve; VERDICT round-4 #2/#3):
+    short-circuits on the first signal-dominated candidate, and abstains
+    to u_hat when every candidate stays below the accept threshold."""
+    from scasml_gp_tpu.picard.scasml import _ScaSMLBase
+
+    class _Fake(_ScaSMLBase):
+        def __init__(self, lambdas):
+            # bypass solver construction; install only what the ladder uses
+            self.equation = type("Eq", (), {"escalate_M_accept": 0.5})()
+            self.lambdas = list(lambdas)
+            self.calls = []
+            self.last_lambda = None
+
+        def _u_hat(self, x_t):
+            return np.full((4, 1), 7.0)
+
+    def solve_at_factory(fake):
+        def solve_at(cand):
+            fake.calls.append(cand)
+            fake.last_lambda = fake.lambdas[len(fake.calls) - 1]
+            return np.full((4, 1), float(len(fake.calls)))
+        return solve_at
+
+    # accept at the second candidate: first is noise-dominated
+    fake = _Fake([0.2, 0.8, 0.9])
+    out = fake._auto_schedule_solve(
+        solve_at_factory(fake), [(1, 2), (1, 3), (2, 2)], None
+    )
+    assert fake.calls == [(1, 2), (1, 3)]          # short-circuit
+    assert float(out[0, 0]) == 2.0                 # the accepted candidate
+    assert fake.last_lambda == 0.8
+
+    # nothing qualifies: abstain to u_hat, lambda reported 0
+    fake = _Fake([0.2, 0.4, 0.45])
+    out = fake._auto_schedule_solve(
+        solve_at_factory(fake), [(1, 2), (1, 3), (2, 2)], None
+    )
+    assert fake.calls == [(1, 2), (1, 3), (2, 2)]  # exhausted the ladder
+    assert float(out[0, 0]) == 7.0                 # u_hat, not best shrink
+    assert fake.last_lambda == 0.0
+
+
 def test_measured_probe_ratio_full_history():
     """The probe variance ratio is MEASURED from the rollouts' variance
     columns (ADVICE round-3 #4), falling back to the analytic terminal-MC
