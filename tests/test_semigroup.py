@@ -106,6 +106,28 @@ def test_rbf_width_autoselection_runs():
     assert 0.4 * unit < width < 1.1 * unit, (width, unit)
 
 
+def test_bernstein_panel_nodes_identity():
+    """The composite log-panel rule must reproduce (1+bq)^{-k} to near
+    machine precision over the reachable q range, for both k = 1
+    (Allen-Cahn / HJB at sigma = sqrt(2)) and a fractional k."""
+    from scasml_gp_tpu.gp.semigroup import bernstein_panel_nodes
+
+    q = np.concatenate([np.linspace(0.0, 30.0, 40), [50.0, 80.0]])
+    # k >= 1 (every implemented equation: k = 2/sigma^2 = 1 at
+    # sigma = sqrt(2)) is machine-precision; k < 1 has an integrable
+    # t^{k-1} singularity the Legendre panels only resolve to ~1e-3 —
+    # acceptable headroom for a backend no implemented equation selects
+    for k, b, tol in ((1.0, 0.2, 1e-9), (1.0, 1.0, 1e-9),
+                      (2.5, 0.7, 1e-9), (0.5, 1.0, 5e-3)):
+        t, w = bernstein_panel_nodes(k)
+        approx = np.sum(
+            w[None, :] * np.exp(-b * t[None, :] * q[:, None]), axis=1
+        )
+        exact = (1.0 + b * q) ** (-k)
+        rel = np.abs(approx - exact) / exact
+        assert rel.max() < tol, (k, b, rel.max())
+
+
 def test_hjb_mixture_backend_near_exact():
     """Round-5 Cole-Hopf mixture backend: v_T = e^{-k g} = a^k (1+b q)^{-k}
     is completely monotone in q, so the Bernstein/log-panel mixture makes
