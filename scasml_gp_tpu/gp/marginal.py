@@ -262,17 +262,8 @@ def fit_gp_marginal_likelihood(
     # worker; sequential execution sidesteps the backend bug).
     from scasml_gp_tpu.gp.posterior import posterior_eval
 
-    key = jax.random.PRNGKey(seed)
-    kd, kb = jax.random.split(key)
     n_vd = max(1, int(N * val_fraction))
     n_vb = max(1, int(x_bdy.shape[0] * val_fraction))
-    perm_d = jax.random.permutation(kd, N)
-    perm_b = jax.random.permutation(kb, x_bdy.shape[0])
-    tr_dom, val_dom = x_dom[perm_d[n_vd:]], x_dom[perm_d[:n_vd]]
-    tr_bdy, val_bdy = x_bdy[perm_b[n_vb:]], x_bdy[perm_b[:n_vb]]
-    bg_tr = equation.g(tr_bdy)[:, 0].astype(jnp.float32)
-    rhs_tr = gp.form.rhs_f(tr_dom).astype(jnp.float32)
-    g_val = equation.g(val_bdy)[:, 0].astype(jnp.float32)
 
     gammas = jnp.stack([
         jnp.asarray(gp_cls(equation, cfg).gamma, jnp.float32)
@@ -281,7 +272,8 @@ def fit_gp_marginal_likelihood(
     nuggets = jnp.array([cfg.nugget for cfg, _ in candidates], jnp.float32)
 
     @jax.jit
-    def val_score_one(gamma, nugget):
+    def val_score_one(gamma, nugget, tr_dom, tr_bdy, val_dom, val_bdy,
+                      bg_tr, rhs_tr, g_val):
         out = gp._train_jit(
             tr_dom, tr_bdy, bg_tr, rhs_tr, gamma, nugget,
             steps=steps, damping=base.damping, grad_tol=base.grad_tol,
@@ -297,16 +289,45 @@ def fit_gp_marginal_likelihood(
         ).u
         return jnp.mean(eps**2) + jnp.mean((ub - g_val) ** 2)
 
-    vs = np.asarray(
-        [float(val_score_one(gammas[i], nuggets[i]))
-         for i in range(gammas.shape[0])],
-        np.float64,
-    )
+    # TWO independent splits, averaged (round-5): a single split can be
+    # displaced by selection noise — measured at d=60 an ML candidate beat
+    # the grid seed on one split yet tested 2.3x worse; the diagnosis
+    # tables (reports/ml_tuner_diagnosis.json) show split-to-split
+    # disagreement of up to 3x on exactly those candidates.  Splits share
+    # ONE compiled program (identical shapes, traced gamma/nugget).
+    vs_splits = []
+    for split_seed in (seed, seed + 1):
+        key = jax.random.PRNGKey(split_seed)
+        kd, kb = jax.random.split(key)
+        perm_d = jax.random.permutation(kd, N)
+        perm_b = jax.random.permutation(kb, x_bdy.shape[0])
+        tr_dom, val_dom = x_dom[perm_d[n_vd:]], x_dom[perm_d[:n_vd]]
+        tr_bdy, val_bdy = x_bdy[perm_b[n_vb:]], x_bdy[perm_b[:n_vb]]
+        bg_tr = equation.g(tr_bdy)[:, 0].astype(jnp.float32)
+        rhs_tr = gp.form.rhs_f(tr_dom).astype(jnp.float32)
+        g_val = equation.g(val_bdy)[:, 0].astype(jnp.float32)
+        vs_splits.append(np.asarray(
+            [float(val_score_one(gammas[i], nuggets[i], tr_dom, tr_bdy,
+                                 val_dom, val_bdy, bg_tr, rhs_tr, g_val))
+             for i in range(gammas.shape[0])],
+            np.float64,
+        ))
+    vs = np.mean(vs_splits, axis=0)
     table = [
         (cfg, nlml_val, float(vs[i]))
         for i, (cfg, nlml_val) in enumerate(candidates)
     ]
+    # anchored selection: a DESCENDED candidate may displace the anchors
+    # (base + seed configs, the first 1 + len(seed_configs) rows) only by
+    # beating the best anchor by a clear margin — within-noise "wins" ship
+    # the anchor (the grid recommendation), never the optimizer's pick
+    n_anchor = 1 + len(seed_configs)
+    best_anchor = min(range(n_anchor), key=lambda i: table[i][2])
     best = min(range(len(table)), key=lambda i: table[i][2])
+    if best >= n_anchor and not (
+        table[best][2] < 0.9 * table[best_anchor][2]
+    ):
+        best = best_anchor
 
     return MarginalFitResult(
         config=table[best][0],
