@@ -149,8 +149,11 @@ def leg_tpu():
     u_sca32, _ = _timed(sca.u_solve, 2, None, x_test, M=32)
     rel_sca32 = _rel(np.asarray(u_sca32), exact)
 
-    # coarse-surrogate repair regime: ScaSML's actual value proposition
-    gp_c = GPHJBColeHopf(eq, GPConfig())
+    # coarse-surrogate repair regime: ScaSML's actual value proposition.
+    # The round-5 default is the exact mixture backend (data-free), so the
+    # coarse leg must pin the scattered-RBF backend — 150 centers is the
+    # genuinely coarse surrogate this leg exists to repair.
+    gp_c = GPHJBColeHopf(eq, GPConfig(), terminal_backend="rbf")
     xdc, xbc = eq.generate_data(120, 30, key=jax.random.PRNGKey(30))
     gp_c.GPsolver(xdc, xbc)
     rel_gp_c = _rel(np.asarray(gp_c.predict(x_test)), exact)
@@ -160,7 +163,8 @@ def leg_tpu():
 
     results["hjb"] = {
         "pde": "HJB u_t + Lap u - |grad u|^2 = 0, d=250, T=0.5",
-        "surrogate": "Cole-Hopf semigroup GP, m=2000 terminal centers",
+        "surrogate": f"Cole-Hopf semigroup GP ({gp.terminal_backend} "
+                     "terminal backend)",
         "n": 2, "M": 8, "test_points": 256,
         "rel_L2": {"GP": rel_gp, "MLP": rel_mlp, "ScaSML": rel_sca,
                    "ScaSML_M32": rel_sca32},
