@@ -76,21 +76,31 @@ def tune_gp(
     x_dom = jnp.asarray(x_dom, jnp.float32)
     x_bdy = jnp.asarray(x_bdy, jnp.float32)
 
-    key = jax.random.PRNGKey(seed)
-    kd, kb = jax.random.split(key)
     n_dom, n_bdy = x_dom.shape[0], x_bdy.shape[0]
     n_vd = max(1, int(n_dom * val_fraction))
     n_vb = max(1, int(n_bdy * val_fraction))
-    perm_d = jax.random.permutation(kd, n_dom)
-    perm_b = jax.random.permutation(kb, n_bdy)
-    tr_dom, val_dom = x_dom[perm_d[n_vd:]], x_dom[perm_d[:n_vd]]
-    tr_bdy, val_bdy = x_bdy[perm_b[n_vb:]], x_bdy[perm_b[:n_vb]]
+
+    # TWO independent 80/20 splits, scores averaged (round 5): a single
+    # split's selection is noise-displaceable between near-tied candidates
+    # with very different test behavior — measured at d=60 the grid
+    # flipped between (ridge 300, gamma 0.1) and (ridge 100, gamma 0.3)
+    # run-to-run, whose test rel-L2 differ 2.3x.  Both splits share the
+    # same compiled train+score programs (identical shapes, traced
+    # gamma/nugget), so the grid stays seconds-cheap.
+    splits = []
+    for split_seed in (seed, seed + 1):
+        key = jax.random.PRNGKey(split_seed)
+        kd, kb = jax.random.split(key)
+        perm_d = jax.random.permutation(kd, n_dom)
+        perm_b = jax.random.permutation(kb, n_bdy)
+        splits.append((
+            x_dom[perm_d[n_vd:]], x_dom[perm_d[:n_vd]],
+            x_bdy[perm_b[n_vb:]], x_bdy[perm_b[:n_vb]],
+        ))
+    tr_dom, val_dom, tr_bdy, val_bdy = splits[0]
 
     gp = gp_cls(equation, base)
     steps = base.gn_steps if gn_steps is None else int(gn_steps)
-    bg_tr = equation.g(tr_bdy)[:, 0].astype(jnp.float32)
-    rhs_tr = gp.form.rhs_f(tr_dom).astype(jnp.float32)
-    g_val = equation.g(val_bdy)[:, 0].astype(jnp.float32)
     dim = equation.dim
 
     # Large-N candidates train through the distributed dual-CG trainer
@@ -110,11 +120,11 @@ def tune_gp(
             cg_tol=base.dist_cg_tol, cg_maxiter=base.dist_cg_maxiter,
         )
 
-        def train_rv(gamma, nugget):
+        def train_rv(gamma, nugget, tr_dom, tr_bdy, bg_tr, rhs_tr):
             out, _ = dist_train(tr_dom, tr_bdy, bg_tr, rhs_tr, gamma, nugget)
             return out.right_vector
     else:
-        def train_rv(gamma, nugget):
+        def train_rv(gamma, nugget, tr_dom, tr_bdy, bg_tr, rhs_tr):
             return gp._train_jit(
                 tr_dom, tr_bdy, bg_tr, rhs_tr, gamma, nugget,
                 steps=steps, damping=base.damping, grad_tol=base.grad_tol,
@@ -122,7 +132,8 @@ def tune_gp(
             ).right_vector
 
     @jax.jit
-    def score_rv(right_vector, gamma):
+    def score_rv(right_vector, gamma, tr_dom, tr_bdy, val_dom, val_bdy,
+                 g_val):
         po = posterior_eval(
             val_dom, tr_dom, tr_bdy, right_vector, gamma, dim,
             want_ops=True,
@@ -133,8 +144,23 @@ def tune_gp(
         ).u
         return jnp.mean(eps**2) + jnp.mean((ub - g_val) ** 2)
 
+    split_tensors = []
+    for tr_d, val_d, tr_b, val_b in splits:
+        split_tensors.append((
+            tr_d, tr_b, val_d, val_b,
+            equation.g(tr_b)[:, 0].astype(jnp.float32),
+            gp.form.rhs_f(tr_d).astype(jnp.float32),
+            equation.g(val_b)[:, 0].astype(jnp.float32),
+        ))
+
     def score_one(gamma, nugget):
-        return score_rv(train_rv(gamma, nugget), gamma)
+        total = 0.0
+        for tr_d, tr_b, val_d, val_b, bg_t, rhs_t, g_v in split_tensors:
+            rv = train_rv(gamma, nugget, tr_d, tr_b, bg_t, rhs_t)
+            total += float(
+                score_rv(rv, gamma, tr_d, tr_b, val_d, val_b, g_v)
+            )
+        return total / len(split_tensors)
 
     table = []
     best = None
