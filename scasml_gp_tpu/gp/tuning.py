@@ -3,15 +3,41 @@
 The reference has no hyperparameter fitting at all — kernel width and nugget
 are hardcoded (models/GP.py:25-26).  BASELINE.json's north star asks for
 on-device GP hyperparameter fitting; this module implements it WITHOUT
-peeking at the exact solution: candidates are scored on held-out collocation
-data by how well the trained surrogate satisfies the PDE in the interior and
-the Dirichlet data on the boundary,
+peeking at the exact solution.
 
-    score = mean eps(X_val)^2 + boundary_weight * mean (u(Y_val) - g(Y_val))^2
+Candidates are judged by the framework's own calibrated estimator
+(round 5):
 
-which is exactly the training objective evaluated out-of-sample.  The search
-is a small grid over (time_scale, ridge_scale, nugget); each candidate trains
-on the same split, so compiled programs are reused across candidates.
+    score = mean over held-out interior points of  u_breve(X_val)^2,
+
+where ``u_breve`` is the candidate surrogate's ScaSML residual-Picard
+correction (picard/scasml.py) — a direct, low-variance Monte-Carlo
+estimate of the candidate's OWN error field u - u_hat (the rollout runs on
+the residual PDE, so its variance scales with the error it measures, not
+with u).  Common random numbers across candidates (the rollout key is
+reset per candidate) cancel most of the remaining MC noise from the
+comparison.
+
+Two earlier scores measurably mis-rank at d >= 60 and are retired:
+
+- out-of-sample PDE residual eps^2 + boundary mismatch (rounds 2-4): a
+  residual metric structurally REWARDS over-smooth kernels (damped
+  derivatives shrink eps regardless of solution error — the same pathology
+  as the profile-NLML objective, reports/ml_tuner_diagnosis.md); at d=60
+  it stably ranked a config testing 0.116 above one testing 0.051.
+- distance to an independent plain-MLP MC anchor: the shallow estimator's
+  own bias correlates with exactly the over-smooth candidates' error
+  pattern, reproducing the same mis-ranking at any tested anchor strength
+  (n=2 M=8 and n=3 M=16).
+
+Measured with the ScaSML judge at d=60: the score's top-3 candidates ARE
+the test top-3 (0.052/0.060/0.049), and the previously mis-chosen config
+drops to 4th-from-bottom.  (reports/tuner_judge.md)
+
+The search is a small grid over (time_scale, ridge_scale, gamma_scale,
+nugget); every candidate shares compiled train+rollout programs (traced
+gamma/nugget and a GPState pytree), and scores are averaged over two
+independent 80/20 splits.
 """
 
 from __future__ import annotations
@@ -35,7 +61,13 @@ class TuneResult:
 
 
 def validation_score(gp, x_val_dom, x_val_bdy, boundary_weight: float = 1.0):
-    """Out-of-sample PDE residual + boundary mismatch of a trained GP."""
+    """Out-of-sample PDE residual + boundary mismatch of a trained GP.
+
+    DIAGNOSTIC ONLY (round 5): this residual-based score structurally
+    rewards over-smooth kernels and is NOT used for selection anymore
+    (module docstring); `tune_gp`/`fit_gp_marginal_likelihood` judge by
+    ScaSML correction energy.  Kept for the attribution experiments
+    (scripts/ml_tuner_diagnosis.py)."""
     eps = np.asarray(gp.compute_PDE_loss(x_val_dom), np.float64).ravel()
     u_b = np.asarray(gp.predict(x_val_bdy), np.float64).ravel()
     g_b = np.asarray(gp.equation.g(x_val_bdy), np.float64).ravel()
@@ -56,6 +88,8 @@ def tune_gp(
     gn_steps: Optional[int] = None,
     seed: int = 0,
     train_backend: str = "auto",
+    judge_n: int = 2,
+    judge_M: int = 8,
 ) -> TuneResult:
     """Grid-search GP hyperparameters on a held-out collocation split,
     then retrain the best candidate on the FULL data.
@@ -69,8 +103,6 @@ def tune_gp(
     gp/marginal.py, and the reason candidates run sequentially rather than
     vmapped (the batched Newton train faults the TPU runtime; see there).
     """
-    from scasml_gp_tpu.gp.posterior import posterior_eval
-
     base = base or GPConfig()
     nuggets = nuggets or (base.nugget,)
     x_dom = jnp.asarray(x_dom, jnp.float32)
@@ -131,35 +163,41 @@ def tune_gp(
                 init_scale=base.init_scale,
             ).right_vector
 
-    @jax.jit
-    def score_rv(right_vector, gamma, tr_dom, tr_bdy, val_dom, val_bdy,
-                 g_val):
-        po = posterior_eval(
-            val_dom, tr_dom, tr_bdy, right_vector, gamma, dim,
-            want_ops=True,
-        )
-        eps = gp.form.residual(val_dom, po.u, po.dt_u, po.div_u, po.lap_u)
-        ub = posterior_eval(
-            val_bdy, tr_dom, tr_bdy, right_vector, gamma, dim
-        ).u
-        return jnp.mean(eps**2) + jnp.mean((ub - g_val) ** 2)
+    # The ScaSML judge: one shared solver instance whose compiled rollout
+    # takes the trained GPState as a pytree argument, so every candidate
+    # (and both splits) reuses ONE compiled program.  variance_guard off:
+    # the raw correction energy IS the score.
+    from scasml_gp_tpu.gp.state import GPState
+    from scasml_gp_tpu.picard.scasml import ScaSMLFullHistory
+
+    judge_gp = gp_cls(equation, base)
+    judge = ScaSMLFullHistory(equation, judge_gp, variance_guard=False)
 
     split_tensors = []
     for tr_d, val_d, tr_b, val_b in splits:
         split_tensors.append((
-            tr_d, tr_b, val_d, val_b,
+            tr_d, tr_b, val_d,
             equation.g(tr_b)[:, 0].astype(jnp.float32),
             gp.form.rhs_f(tr_d).astype(jnp.float32),
-            equation.g(val_b)[:, 0].astype(jnp.float32),
         ))
 
     def score_one(gamma, nugget):
         total = 0.0
-        for tr_d, tr_b, val_d, val_b, bg_t, rhs_t, g_v in split_tensors:
+        for si, (tr_d, tr_b, val_d, bg_t, rhs_t) in enumerate(
+            split_tensors
+        ):
             rv = train_rv(gamma, nugget, tr_d, tr_b, bg_t, rhs_t)
-            total += float(
-                score_rv(rv, gamma, tr_d, tr_b, val_d, val_b, g_v)
+            judge_gp.state = GPState(
+                x_dom=tr_d, x_bdy=tr_b, right_vector=rv,
+                sol=jnp.zeros((3 * tr_d.shape[0],), jnp.float32),
+                gamma=gamma,
+                loss_history=jnp.zeros((1,), jnp.float32),
             )
+            # common random numbers: every candidate judges with the SAME
+            # rollout key, cancelling most MC noise from the comparison
+            judge.key = jax.random.PRNGKey(seed + 101 * (si + 1))
+            ub = judge.uz_solve(judge_n, None, val_d, M=judge_M)[:, :1]
+            total += float(jnp.mean(ub * ub))
         return total / len(split_tensors)
 
     table = []
