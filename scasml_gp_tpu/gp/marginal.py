@@ -263,8 +263,6 @@ def fit_gp_marginal_likelihood(
     from scasml_gp_tpu.gp.state import GPState
     from scasml_gp_tpu.picard.scasml import ScaSMLFullHistory
 
-    n_vd = max(1, int(N * val_fraction))
-
     gammas = jnp.stack([
         jnp.asarray(gp_cls(equation, cfg).gamma, jnp.float32)
         for cfg, _ in candidates
@@ -272,52 +270,45 @@ def fit_gp_marginal_likelihood(
     nuggets = jnp.array([cfg.nugget for cfg, _ in candidates], jnp.float32)
 
     # The ScaSML judge (round 5, identical to gp/tuning.py): score each
-    # candidate by the energy of its own residual-Picard correction on the
-    # held-out interior points -- a direct low-variance estimate of the
-    # candidate's error field.  Residual- and MC-anchor-based scores both
-    # measurably mis-rank at d >= 60 (gp/tuning.py module docstring).
+    # candidate by the energy of its own residual-Picard correction on
+    # freshly sampled interior points -- a direct low-variance estimate of
+    # the candidate's error field.  Candidates train at FULL size (the
+    # judge needs no held-out data, and subsample-trained selection
+    # mis-ranks; gp/tuning.py module docstring).  Residual- and
+    # MC-anchor-based scores both measurably mis-rank at d >= 60.
     judge_gp = gp_cls(equation, base)
     judge = ScaSMLFullHistory(equation, judge_gp, variance_guard=False)
+    geom = equation.geometry()
+    n_val = max(64, int(N * val_fraction))
+    val_sets = [
+        geom.sample_domain(jax.random.PRNGKey(seed + 7 * (i + 1)), n_val)
+        for i in range(2)
+    ]
 
-    def val_score_one(gamma, nugget, tr_dom, tr_bdy, val_dom, bg_tr,
-                      rhs_tr, judge_key):
+    def val_score_one(gamma, nugget):
         out = gp._train_jit(
-            tr_dom, tr_bdy, bg_tr, rhs_tr, gamma, nugget,
+            x_dom, x_bdy, bdy_g, rhs, gamma, nugget,
             steps=steps, damping=base.damping, grad_tol=base.grad_tol,
             init_scale=base.init_scale,
         )
         judge_gp.state = GPState(
-            x_dom=tr_dom, x_bdy=tr_bdy, right_vector=out.right_vector,
-            sol=jnp.zeros((3 * tr_dom.shape[0],), jnp.float32),
+            x_dom=x_dom, x_bdy=x_bdy, right_vector=out.right_vector,
+            sol=jnp.zeros((3 * N,), jnp.float32),
             gamma=gamma, loss_history=jnp.zeros((1,), jnp.float32),
         )
-        judge.key = judge_key  # common random numbers across candidates
-        ub = judge.uz_solve(2, None, val_dom, M=8)[:, :1]
-        return float(jnp.mean(ub * ub))
+        total = 0.0
+        for si, val_d in enumerate(val_sets):
+            # common random numbers across candidates
+            judge.key = jax.random.PRNGKey(seed + 101 * (si + 1))
+            ub = judge.uz_solve(2, None, val_d, M=8)[:, :1]
+            total += float(jnp.mean(ub * ub))
+        return total / len(val_sets)
 
-    # TWO independent splits, averaged (round-5): a single split can be
-    # displaced by selection noise — measured at d=60 an ML candidate beat
-    # the grid seed on one split yet tested 2.3x worse; the diagnosis
-    # tables (reports/ml_tuner_diagnosis.json) show split-to-split
-    # disagreement of up to 3x on exactly those candidates.  Splits share
-    # ONE compiled program (identical shapes, traced gamma/nugget).
-    vs_splits = []
-    for si, split_seed in enumerate((seed, seed + 1)):
-        key = jax.random.PRNGKey(split_seed)
-        kd, kb = jax.random.split(key)
-        perm_d = jax.random.permutation(kd, N)
-        perm_b = jax.random.permutation(kb, x_bdy.shape[0])
-        tr_dom, val_dom = x_dom[perm_d[n_vd:]], x_dom[perm_d[:n_vd]]
-        tr_bdy = x_bdy[perm_b[max(1, int(x_bdy.shape[0] * val_fraction)):]]
-        bg_tr = equation.g(tr_bdy)[:, 0].astype(jnp.float32)
-        rhs_tr = gp.form.rhs_f(tr_dom).astype(jnp.float32)
-        judge_key = jax.random.PRNGKey(seed + 101 * (si + 1))
-        vs_splits.append(np.asarray(
-            [val_score_one(gammas[i], nuggets[i], tr_dom, tr_bdy,
-                           val_dom, bg_tr, rhs_tr, judge_key)
-             for i in range(gammas.shape[0])],
-            np.float64,
-        ))
+    vs_splits = [np.asarray(
+        [val_score_one(gammas[i], nuggets[i])
+         for i in range(gammas.shape[0])],
+        np.float64,
+    )]
     vs = np.mean(vs_splits, axis=0)
     table = [
         (cfg, nlml_val, float(vs[i]))

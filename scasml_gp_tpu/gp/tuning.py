@@ -34,10 +34,16 @@ Measured with the ScaSML judge at d=60: the score's top-3 candidates ARE
 the test top-3 (0.052/0.060/0.049), and the previously mis-chosen config
 drops to 4th-from-bottom.  (reports/tuner_judge.md)
 
+Candidates train at FULL size and are judged on freshly sampled interior
+points (two independent sets, averaged): the judge needs no held-out data
+— u_breve estimates the surrogate's error wherever it is evaluated — and
+selection on subsample-trained candidates measurably mis-ranks (the
+config landscape shifts with N; the d=60 winner at N=800 tests 2.3x worse
+retrained at N=1000).
+
 The search is a small grid over (time_scale, ridge_scale, gamma_scale,
 nugget); every candidate shares compiled train+rollout programs (traced
-gamma/nugget and a GPState pytree), and scores are averaged over two
-independent 80/20 splits.
+gamma/nugget and a GPState pytree).
 """
 
 from __future__ import annotations
@@ -91,8 +97,9 @@ def tune_gp(
     judge_n: int = 2,
     judge_M: int = 8,
 ) -> TuneResult:
-    """Grid-search GP hyperparameters on a held-out collocation split,
-    then retrain the best candidate on the FULL data.
+    """Grid-search GP hyperparameters; candidates train at full size and
+    are judged by their own ScaSML correction energy on fresh interior
+    points (module docstring).
 
     Returns the winning GPConfig; the returned ``gp_cls(equation, config)``
     trained on all of (x_dom, x_bdy) is what callers should use.
@@ -109,37 +116,18 @@ def tune_gp(
     x_bdy = jnp.asarray(x_bdy, jnp.float32)
 
     n_dom, n_bdy = x_dom.shape[0], x_bdy.shape[0]
-    n_vd = max(1, int(n_dom * val_fraction))
-    n_vb = max(1, int(n_bdy * val_fraction))
-
-    # TWO independent 80/20 splits, scores averaged (round 5): a single
-    # split's selection is noise-displaceable between near-tied candidates
-    # with very different test behavior — measured at d=60 the grid
-    # flipped between (ridge 300, gamma 0.1) and (ridge 100, gamma 0.3)
-    # run-to-run, whose test rel-L2 differ 2.3x.  Both splits share the
-    # same compiled train+score programs (identical shapes, traced
-    # gamma/nugget), so the grid stays seconds-cheap.
-    splits = []
-    for split_seed in (seed, seed + 1):
-        key = jax.random.PRNGKey(split_seed)
-        kd, kb = jax.random.split(key)
-        perm_d = jax.random.permutation(kd, n_dom)
-        perm_b = jax.random.permutation(kb, n_bdy)
-        splits.append((
-            x_dom[perm_d[n_vd:]], x_dom[perm_d[:n_vd]],
-            x_bdy[perm_b[n_vb:]], x_bdy[perm_b[:n_vb]],
-        ))
-    tr_dom, val_dom, tr_bdy, val_bdy = splits[0]
 
     gp = gp_cls(equation, base)
     steps = base.gn_steps if gn_steps is None else int(gn_steps)
     dim = equation.dim
+    bg = equation.g(x_bdy)[:, 0].astype(jnp.float32)
+    rhs = gp.form.rhs_f(x_dom).astype(jnp.float32)
 
     # Large-N candidates train through the distributed dual-CG trainer
     # (gp/distributed.py): gamma/nugget are traced there too, so the grid
     # still shares ONE compiled program.  The dense trainer would need the
     # phi^2 inverse per candidate, which caps out around phi ~ 8k.
-    backend = gp._resolve_train_backend(tr_dom, tr_bdy) if (
+    backend = gp._resolve_train_backend(x_dom, x_bdy) if (
         train_backend == "auto"
     ) else train_backend
     if backend == "distributed":
@@ -152,53 +140,56 @@ def tune_gp(
             cg_tol=base.dist_cg_tol, cg_maxiter=base.dist_cg_maxiter,
         )
 
-        def train_rv(gamma, nugget, tr_dom, tr_bdy, bg_tr, rhs_tr):
-            out, _ = dist_train(tr_dom, tr_bdy, bg_tr, rhs_tr, gamma, nugget)
+        def train_rv(gamma, nugget):
+            out, _ = dist_train(x_dom, x_bdy, bg, rhs, gamma, nugget)
             return out.right_vector
     else:
-        def train_rv(gamma, nugget, tr_dom, tr_bdy, bg_tr, rhs_tr):
+        def train_rv(gamma, nugget):
             return gp._train_jit(
-                tr_dom, tr_bdy, bg_tr, rhs_tr, gamma, nugget,
+                x_dom, x_bdy, bg, rhs, gamma, nugget,
                 steps=steps, damping=base.damping, grad_tol=base.grad_tol,
                 init_scale=base.init_scale,
             ).right_vector
 
     # The ScaSML judge: one shared solver instance whose compiled rollout
     # takes the trained GPState as a pytree argument, so every candidate
-    # (and both splits) reuses ONE compiled program.  variance_guard off:
-    # the raw correction energy IS the score.
+    # (and both val sets) reuses ONE compiled program.  variance_guard
+    # off: the raw correction energy IS the score.
+    #
+    # Candidates train at FULL size and are judged on FRESHLY SAMPLED
+    # interior points: the judge needs no held-out data (u_breve estimates
+    # the surrogate's error wherever it is evaluated), and selection on
+    # 80/20-subsample-trained candidates measurably mis-ranks — the
+    # config landscape shifts with N (the d=60 winner at N=800 tests 2.3x
+    # worse at N=1000).  Two independent val sets are averaged.
     from scasml_gp_tpu.gp.state import GPState
     from scasml_gp_tpu.picard.scasml import ScaSMLFullHistory
 
     judge_gp = gp_cls(equation, base)
     judge = ScaSMLFullHistory(equation, judge_gp, variance_guard=False)
-
-    split_tensors = []
-    for tr_d, val_d, tr_b, val_b in splits:
-        split_tensors.append((
-            tr_d, tr_b, val_d,
-            equation.g(tr_b)[:, 0].astype(jnp.float32),
-            gp.form.rhs_f(tr_d).astype(jnp.float32),
-        ))
+    geom = equation.geometry()
+    n_val = max(64, int(n_dom * val_fraction))
+    val_sets = [
+        geom.sample_domain(jax.random.PRNGKey(seed + 7 * (i + 1)), n_val)
+        for i in range(2)
+    ]
 
     def score_one(gamma, nugget):
+        rv = train_rv(gamma, nugget)
+        judge_gp.state = GPState(
+            x_dom=x_dom, x_bdy=x_bdy, right_vector=rv,
+            sol=jnp.zeros((3 * n_dom,), jnp.float32),
+            gamma=gamma,
+            loss_history=jnp.zeros((1,), jnp.float32),
+        )
         total = 0.0
-        for si, (tr_d, tr_b, val_d, bg_t, rhs_t) in enumerate(
-            split_tensors
-        ):
-            rv = train_rv(gamma, nugget, tr_d, tr_b, bg_t, rhs_t)
-            judge_gp.state = GPState(
-                x_dom=tr_d, x_bdy=tr_b, right_vector=rv,
-                sol=jnp.zeros((3 * tr_d.shape[0],), jnp.float32),
-                gamma=gamma,
-                loss_history=jnp.zeros((1,), jnp.float32),
-            )
+        for si, val_d in enumerate(val_sets):
             # common random numbers: every candidate judges with the SAME
             # rollout key, cancelling most MC noise from the comparison
             judge.key = jax.random.PRNGKey(seed + 101 * (si + 1))
             ub = judge.uz_solve(judge_n, None, val_d, M=judge_M)[:, :1]
             total += float(jnp.mean(ub * ub))
-        return total / len(split_tensors)
+        return total / len(val_sets)
 
     table = []
     best = None

@@ -60,7 +60,9 @@ def test_tune_gp_distributed_backend():
 
     d = 6
     eq = GradDependentNonlinear(n_input=d + 1)
-    x_dom, x_bdy = eq.generate_data(120, 30, key=jax.random.PRNGKey(0))
+    # phi = 4N + Nb must divide the 8-device mesh now that candidates
+    # train at FULL size (round 5): 4*120 + 32 = 512
+    x_dom, x_bdy = eq.generate_data(120, 32, key=jax.random.PRNGKey(0))
     base = GPConfig(gn_steps=8, dist_gn_steps=8)
 
     dense = tune_gp(GPGradDependentNonlinear, eq, x_dom, x_bdy, base=base,
