@@ -110,7 +110,7 @@ def fit_gp_marginal_likelihood(
     gn_steps: Optional[int] = None,
     learn_nugget: bool = False,
     prior_strength: float = 2.0,
-    val_fraction: float = 0.2,
+    val_fraction: float = 0.4,
     seed: int = 0,
     seed_configs: Sequence[GPConfig] = (),
 ) -> MarginalFitResult:
@@ -279,10 +279,13 @@ def fit_gp_marginal_likelihood(
     judge_gp = gp_cls(equation, base)
     judge = ScaSMLFullHistory(equation, judge_gp, variance_guard=False)
     geom = equation.geometry()
+    # 3 x 400-point judging, matching gp/tuning.py: with 2 x 200 the
+    # judge's near-ties flip with the val seed (measured at d=40,
+    # reports/tuner_judge.md round-5 audit)
     n_val = max(64, int(N * val_fraction))
     val_sets = [
         geom.sample_domain(jax.random.PRNGKey(seed + 7 * (i + 1)), n_val)
-        for i in range(2)
+        for i in range(3)
     ]
 
     def val_score_one(gamma, nugget):
@@ -300,7 +303,11 @@ def fit_gp_marginal_likelihood(
         for si, val_d in enumerate(val_sets):
             # common random numbers across candidates
             judge.key = jax.random.PRNGKey(seed + 101 * (si + 1))
-            ub = judge.uz_solve(2, None, val_d, M=8)[:, :1]
+            # depth-3 judge at d >= 100, matching gp/tuning.py (the n=2
+            # judge's truncation bias mis-ranks there; measured,
+            # reports/tuner_judge.md)
+            jn = 3 if equation.dim >= 100 else 2
+            ub = judge.uz_solve(jn, None, val_d, M=8)[:, :1]
             total += float(jnp.mean(ub * ub))
         return total / len(val_sets)
 
