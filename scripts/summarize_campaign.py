@@ -40,7 +40,14 @@ def main():
         for (eqn, dim, variant), rel in rows.items():
             def f(k):
                 v = rel.get(k)
-                return f"{v:.4f}" if isinstance(v, float) else "—"
+                if isinstance(v, float):
+                    return f"{v:.4f}"
+                if isinstance(v, list) and v and all(
+                    isinstance(x, (int, float)) for x in v
+                ):
+                    # sweep harness: show the budget trajectory ends
+                    return f"{v[0]:.4f} → {v[-1]:.4f}"
+                return "—"
             print(f"| {eqn} | {dim} | {variant} | {f('GP')} | {f('MLP')} |"
                   f" **{f('SCaSML')}** |")
 
